@@ -1,0 +1,71 @@
+"""The flagship pipeline: MinHash-LSH near-duplicate detection + clustering
+(SURVEY.md §3.2 "Ray Data equivalent").
+
+    pages(url, [html|text], ...)
+      → prepare (doc_id, text)                       [stateless map_batches]
+      → signatures (doc_id, shingles)                [stateless map_batches]
+      → bands (doc_id, band_hash) exploded           [actor pool: LSH params]
+      → candidate pairs                              [groupby(band_hash), salted]
+      → cross-band dedup + collision count           [groupby(doc_a, doc_b)]
+      → exact-Jaccard verify                         [2 hash joins + kernel]
+      → union-find fixpoint                          [iterative groupby]
+      → clusters (doc_id, cluster_id)
+
+Decisions always come from exact Jaccard (>= tau), matching the reference's
+exact re-scoring contract (HashingQuery.scala:23-38).  Every wide step's key
+is stated inline; the only skewed key (band_hash of boilerplate/empty bands)
+is capped + star-connected at pair generation (stages/pairs.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from elastiknn_ray.config import DedupConfig
+from elastiknn_ray.stages.hashing import MinHashBandStage, SignatureStage, prepare_batch
+from elastiknn_ray.stages.pairs import candidate_pairs
+from elastiknn_ray.stages.verify import verify_pairs
+from elastiknn_ray.stages.components import connected_components
+
+
+@dataclass
+class NearDupResult:
+    signatures: object  # Dataset(doc_id, shingles, n_shingles)
+    pairs: object  # Dataset(doc_a, doc_b, n_bands, jaccard) — verified
+    clusters: object  # Dataset(doc_id, cluster_id) — only docs in some cluster
+
+
+def signatures_of(pages, cfg: DedupConfig, *, band_concurrency=None):
+    """pages → (signatures, bands) datasets."""
+    docs = pages.map_batches(prepare_batch, batch_format="pyarrow")
+    sigs = docs.map_batches(
+        SignatureStage(cfg.shingle), batch_format="pyarrow", batch_size=1024
+    )
+    bands = sigs.map_batches(
+        MinHashBandStage,
+        fn_constructor_kwargs={"lsh": cfg.lsh},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=band_concurrency or (1, 8),
+    )
+    return sigs, bands
+
+
+def near_dup_pipeline(
+    pages, cfg: DedupConfig, *, num_partitions: int = 32, band_concurrency=None
+) -> NearDupResult:
+    """Run the full near-dup pipeline lazily; nothing materializes until the
+    caller consumes a result dataset (except the union-find rounds, which
+    materialize the — much smaller — verified-pair edge list)."""
+    sigs, bands = signatures_of(pages, cfg, band_concurrency=band_concurrency)
+    # signatures are consumed twice (verify joins) — pin them once instead of
+    # recomputing the whole upstream pipeline per consumer
+    sigs = sigs.materialize()
+    cands = candidate_pairs(bands, cfg.hot_band_cap)
+    verified = verify_pairs(cands, sigs, cfg.tau, num_partitions=num_partitions)
+    verified = verified.materialize()
+    edges = verified.select_columns(["doc_a", "doc_b"]).rename_columns(
+        {"doc_a": "u", "doc_b": "v"}
+    )
+    clusters = connected_components(edges)
+    return NearDupResult(signatures=sigs, pairs=verified, clusters=clusters)
