@@ -40,6 +40,24 @@ def verify_pairs(pairs, signatures, tau: float, *, num_partitions: int = 32):
     join-side skew handling is needed; pair-side skew was already capped at
     candidate generation.
     """
+    import ray.data as rd
+
+    # A zero-row pair set loses its schema through the shuffle and breaks the
+    # acero join ("no match for key field"); the candidate set is orders of
+    # magnitude smaller than the corpus (deduped + hot-band-capped), so
+    # pinning it here is cheap and also lets resumable callers count it.
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "n_bands": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
     sig = signatures.select_columns(["doc_id", "shingles"])
     a = pairs.join(
         sig,
