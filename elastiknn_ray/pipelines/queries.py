@@ -1,0 +1,407 @@
+"""The driver-facing query registry: one entry per implemented operator /
+pipeline (SURVEY.md §2), each with a DuckDB oracle where ANSI-SQL can express
+the semantics (``__ray_entry__.py`` contract).
+
+Design rules for oracle-checked queries:
+- identical output column NAMES in Ray and SQL;
+- integer/string outputs wherever possible (floats only where values pass
+  through untouched or arithmetic is exact), so order-insensitive value
+  hashes match bit-for-bit;
+- any float ordering uses a deterministic (score, id) tie-break.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from elastiknn_ray.config import DedupConfig, JaccardLshConfig, ShingleConfig
+from elastiknn_ray.stages.components import connected_components
+from elastiknn_ray.stages.dedup import exact_dedup_groups, keep_first_in_group
+from elastiknn_ray.stages.hashing import SignatureStage, decode_u64_lists
+from elastiknn_ray.stages.knn import knn_exact, _to_matrix
+from elastiknn_ray.stages.pairs import candidate_pairs
+from elastiknn_ray.stages.verify import verify_pairs
+
+#: operating config for the documents-table near-dup queries: at tau=0.5,
+#: P[pair at J=0.5 becomes a candidate] = 1-(1-0.5^3)^64 ≈ 0.9998 >= 0.99.
+DOCS_DEDUP_CFG = DedupConfig(
+    shingle=ShingleConfig(k=5),
+    lsh=JaccardLshConfig(L=64, k=3, seed=0),
+    tau=0.5,
+    hot_band_cap=256,
+)
+
+SHINGLE_K = 5
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- documents
+
+def q_token_counts(sf_dir: str):
+    """Token counting (text-analysis op): whitespace tokens per doc."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = np.fromiter(
+            (len(t.split()) for t in batch.column("text").to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def q_doc_stats(sf_dir: str):
+    """Quality-scoring primitives: token count + total token length (ints)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        nt, st = [], []
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            nt.append(len(toks))
+            st.append(sum(len(x) for x in toks))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(np.array(nt, np.int64), pa.int64()),
+                "sum_token_len": pa.array(np.array(st, np.int64), pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def q_docs_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    return (
+        _read(sf_dir, "documents", ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+    )
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    """Exact dedup: representative (min doc_id) + multiplicity per distinct
+    text, keyed by 64-bit content hash (stages/dedup.py)."""
+    return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _shingle_bands(batch: pa.Table) -> pa.Table:
+    """Every shingle is its own band → candidate generation is exhaustive for
+    any pair with Jaccard > 0 (the brute-force/oracle analogue of LSH bands;
+    ExactQuery.scala:18-50 in spirit)."""
+    offsets, values = decode_u64_lists(batch.column("shingles"))
+    counts = np.diff(offsets)
+    docs = np.repeat(batch.column("doc_id").to_numpy(), counts)
+    return pa.table(
+        {"doc_id": pa.array(docs, pa.int64()), "band_hash": pa.array(values, pa.uint64())}
+    )
+
+
+def _exact_pairs_ds(sf_dir: str, min_isec: int = 1):
+    """(doc_a, doc_b, isec, size_a, size_b) for all pairs sharing >= min_isec
+    k-shingles.  ``isec`` = the cross-band collision count of candidate_pairs
+    — exact intersection size because every shingle is a band.  Integer-only
+    output → bit-stable oracle comparison."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = docs.map_batches(
+        SignatureStage(ShingleConfig(k=SHINGLE_K)), batch_format="pyarrow"
+    ).materialize()
+    bands = sigs.map_batches(_shingle_bands, batch_format="pyarrow")
+    # exhaustive mode: cap larger than any group (hottest shingle ~ O(10) docs
+    # in this corpus; a capped/starred group would corrupt the isec count)
+    cands = candidate_pairs(bands, cap=1 << 30, count_col="isec")
+    sizes = sigs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_shingles": t.column("n_shingles").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    a = cands.join(
+        sizes, join_type="inner", num_partitions=8, on=("doc_a",), right_on=("doc_id",)
+    )
+    a = a.rename_columns({"n_shingles": "size_a"}).select_columns(
+        ["doc_a", "doc_b", "isec", "size_a"]
+    )
+    b = a.join(
+        sizes, join_type="inner", num_partitions=8, on=("doc_b",), right_on=("doc_id",)
+    )
+    b = b.rename_columns({"n_shingles": "size_b"}).select_columns(
+        ["doc_a", "doc_b", "isec", "size_a", "size_b"]
+    )
+    if min_isec > 1:
+        b = b.map_batches(
+            lambda t: t.filter(
+                pa.compute.greater_equal(t.column("isec"), pa.scalar(min_isec))
+            ),
+            batch_format="pyarrow",
+        )
+    return b
+
+
+def q_exact_shingle_pairs(sf_dir: str):
+    return _exact_pairs_ds(sf_dir)
+
+
+def q_dup_clusters_exact(sf_dir: str):
+    """Connected components over pairs with exact Jaccard >= 0.5 (integer
+    criterion 3·isec >= size_a+size_b)."""
+    pairs = _exact_pairs_ds(sf_dir)
+    edges = pairs.map_batches(
+        lambda t: (
+            lambda m: pa.table(
+                {"u": t.column("doc_a").filter(m), "v": t.column("doc_b").filter(m)}
+            )
+        )(
+            pa.compute.greater_equal(
+                pa.compute.multiply(t.column("isec"), pa.scalar(3, pa.int64())),
+                pa.compute.add(t.column("size_a"), t.column("size_b")),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return connected_components(edges)
+
+
+def q_lsh_dup_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs over documents (flagship path; approximate
+    candidate generation + exact verification — no closed-form SQL oracle).
+    prepare_batch keeps the table's own doc_id column."""
+    from elastiknn_ray.pipelines.near_dup import near_dup_pipeline
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = near_dup_pipeline(docs, DOCS_DEDUP_CFG, num_partitions=8)
+    return res.pairs
+
+
+def q_lsh_clusters(sf_dir: str):
+    from elastiknn_ray.pipelines.near_dup import near_dup_pipeline
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = near_dup_pipeline(docs, DOCS_DEDUP_CFG, num_partitions=8)
+    return res.clusters
+
+
+# ---------------------------------------------------------------- embeddings
+
+def q_knn_exact_cosine(sf_dir: str):
+    """Brute-force cosine kNN: queries = vec_id < 10, k = 5; output ranks
+    (ints) with (score desc, neighbor_id) tie-break."""
+    import ray.data as rd
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
+    qm = np.array(q["embedding"].tolist(), dtype=np.float64)
+    out = knn_exact(
+        emb, {"ids": q["vec_id"].to_numpy(), "matrix": qm}, k=5
+    )
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
+# ---------------------------------------------------------------- events
+
+def q_events_first_by_user_type(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = keep_first_in_group(
+        ds,
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+        keep_cols=["user_id", "event_type", "event_id"],
+    )
+    # Dataset.rename_columns chokes on pandas-format upstream blocks; rename
+    # in a pandas map_batches instead.
+    return out.map_batches(
+        lambda df: df.rename(columns={"event_id": "first_event_id"}),
+        batch_format="pandas",
+    )
+
+
+def q_events_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type", "value"])
+        .groupby(["user_id", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- relational
+
+def q_lineitem_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    # sum over whole-number quantities is exact in double precision
+    return (
+        _read(
+            sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"]
+        )
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Count(alias_name="n_rows"), Sum("l_quantity", alias_name="sum_qty")
+        )
+    )
+
+
+def q_top_orders(sf_dir: str):
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_customer_order_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    counts = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j = counts.join(
+        cust,
+        join_type="inner",
+        num_partitions=4,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return j.rename_columns({"o_custkey": "c_custkey"}).select_columns(
+        ["c_custkey", "c_name", "n_orders"]
+    )
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES = {
+    "token_counts": q_token_counts,
+    "doc_stats": q_doc_stats,
+    "docs_by_lang": q_docs_by_lang,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "exact_shingle_pairs": q_exact_shingle_pairs,
+    "dup_clusters_exact": q_dup_clusters_exact,
+    "lsh_dup_pairs": q_lsh_dup_pairs,
+    "lsh_clusters": q_lsh_clusters,
+    "knn_exact_cosine": q_knn_exact_cosine,
+    "events_first_by_user_type": q_events_first_by_user_type,
+    "events_agg": q_events_agg,
+    "lineitem_agg": q_lineitem_agg,
+    "top_orders": q_top_orders,
+    "customer_order_counts": q_customer_order_counts,
+}
+
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_TOKS_LOWER = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+_SHINGLE_CTE = f"""
+d AS (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS rn FROM d),
+sh AS (
+  SELECT doc_id,
+         w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+           || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win AS s
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY rn)
+),
+sd AS (SELECT DISTINCT doc_id, s FROM sh WHERE s IS NOT NULL),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sd GROUP BY doc_id),
+isec AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isec
+  FROM sd a JOIN sd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b, isec, sa.n AS size_a, sb.n AS size_b
+  FROM isec JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+)
+"""
+
+ORACLE_SQL = {
+    "token_counts": f"SELECT doc_id, length({_TOKS}) AS n_tokens FROM documents",
+    "doc_stats": f"""
+        SELECT doc_id,
+               length({_TOKS}) AS n_tokens,
+               CAST(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum') AS BIGINT)
+                   AS sum_token_len
+        FROM documents""",
+    "docs_by_lang": """
+        SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents GROUP BY lang""",
+    "exact_dedup_docs": """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY text""",
+    "exact_shingle_pairs": f"WITH {_SHINGLE_CTE} SELECT * FROM pairs",
+    "dup_clusters_exact": f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        edges AS (SELECT doc_a, doc_b FROM pairs WHERE 3*isec >= size_a + size_b),
+        bi AS (SELECT doc_a AS a, doc_b AS b FROM edges
+               UNION SELECT doc_b, doc_a FROM edges),
+        reach(x, y) AS (
+          SELECT a, b FROM bi
+          UNION
+          SELECT r.x, bi.b FROM reach r JOIN bi ON r.y = bi.a
+        )
+        SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id FROM reach GROUP BY x""",
+    "knn_exact_cosine": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                   WHERE vec_id < 10),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, c.embedding) AS score
+              FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS rank
+              FROM s)
+        SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""",
+    "events_first_by_user_type": """
+        SELECT user_id, event_type, event_id AS first_event_id FROM (
+          SELECT user_id, event_type, event_id,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events) WHERE rn = 1""",
+    "events_agg": """
+        SELECT user_id, event_type, COUNT(*) AS n_events,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY user_id, event_type""",
+    "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "top_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "customer_order_counts": """
+        SELECT c_custkey, c_name, COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name""",
+    # lsh_dup_pairs / lsh_clusters: approximate LSH candidate generation is
+    # not SQL-expressible → driver records rows-only checks (exactness of the
+    # surviving pairs is separately guaranteed by exact_shingle_pairs +
+    # tests/test_pipeline.py's brute-force oracle).
+}

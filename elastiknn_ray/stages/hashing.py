@@ -53,19 +53,24 @@ def doc_id_of_url(url: str) -> int:
 
 
 def prepare_batch(batch: pa.Table) -> pa.Table:
-    """Add ``doc_id`` and ensure ``text`` (extracting from html if needed)."""
-    urls = batch.column("url").to_pylist()
-    ids = pa.array([doc_id_of_url(u) for u in urls], pa.int64())
+    """Ensure ``doc_id`` (stable url hash unless the input already carries
+    ids) and ``text`` (extracted from html when absent)."""
     names = set(batch.column_names)
+    if "doc_id" in names:
+        ids = batch.column("doc_id").cast(pa.int64())
+    else:
+        urls = batch.column("url").to_pylist()
+        ids = pa.array([doc_id_of_url(u) for u in urls], pa.int64())
     if "text" in names:
         texts = batch.column("text")
     else:
         texts = pa.array(
             [extract_text(h) for h in batch.column("html").to_pylist()], pa.string()
         )
-    cols = {"doc_id": ids, "url": batch.column("url"), "text": texts}
-    if "lang" in names:
-        cols["lang"] = batch.column("lang")
+    cols = {"doc_id": ids, "text": texts}
+    for extra in ("url", "lang"):
+        if extra in names:
+            cols[extra] = batch.column(extra)
     return pa.table(cols)
 
 
