@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: run every registry query from ``elastiknn_ray.pipelines.queries``
+over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print
+ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N}
+
+``--scaling``: run the flagship near-dup pipeline twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) over the same deterministic synthetic corpus
+(sources/synth.py; no external data) and report docs/sec at both plus the
+scaling efficiency ``(T_8 / T_32) / (32 / 8)`` — the sandbox stand-in for the
+north rule's N-node vs 4N-node cluster criterion (SURVEY.md §4, §6).
+
+Only this script (and the pytest fixture) owns the Ray session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+#: synthetic-corpus size for the scaling runs: big enough that fixed Ray/plan
+#: overhead (~seconds) is small vs compute, small enough to finish in minutes.
+SCALING_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "60000"))
+SCALING_SEED = 42
+
+
+def _consume(res) -> int:
+    """Force full execution of a query result; return its row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    # ray.data.Dataset: materialize() executes every block (count() alone can
+    # shortcut via metadata for trivial plans)
+    return res.materialize().count()
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+
+def run_queries(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    from elastiknn_ray.pipelines.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    t_all = time.perf_counter()
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        rows[name] = _consume(fn(sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    return {
+        "metric": "e2e_registry_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": sf_val,
+        "num_cpus": num_cpus,
+    }
+
+
+def run_flagship(num_cpus: int, n_docs: int, seed: int) -> dict:
+    """One fresh-session flagship run over the synthetic corpus: generate →
+    extract → shingle → minhash bands → pairs → verify → cluster."""
+    _init_ray(num_cpus)
+    from elastiknn_ray.pipelines.near_dup import near_dup_pipeline
+    from elastiknn_ray.pipelines.queries import DOCS_DEDUP_CFG
+    from elastiknn_ray.sources.synth import pages_dataset
+
+    # identical logical plan at every CPU level (blocks/partitions fixed) so
+    # the scaling comparison varies ONLY the available parallelism
+    blocks = 64
+    t0 = time.perf_counter()
+    pages = pages_dataset(n_docs, seed, override_num_blocks=blocks)
+    res = near_dup_pipeline(
+        pages,
+        DOCS_DEDUP_CFG,
+        num_partitions=16,
+        band_concurrency=(1, num_cpus),
+    )
+    n_clustered = res.clusters.materialize().count()
+    n_pairs = res.pairs.count()
+    elapsed = time.perf_counter() - t0
+    return {
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "elapsed_sec": round(elapsed, 3),
+        "docs_per_sec": round(n_docs / elapsed, 1),
+        "verified_pairs": n_pairs,
+        "clustered_docs": n_clustered,
+    }
+
+
+def run_scaling() -> dict:
+    """Fresh subprocess per parallelism level (clean Ray session, cold plan)."""
+    runs = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--flagship",
+                "--cpus",
+                str(cpus),
+                "--docs",
+                str(SCALING_DOCS),
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    t8, t32 = runs[8]["elapsed_sec"], runs[32]["elapsed_sec"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_docs": SCALING_DOCS,
+        "run_8cpus": runs[8],
+        "run_32cpus": runs[32],
+        "speedup": round(t8 / t32, 2),
+        "pass": eff >= 0.8,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--flagship", action="store_true", help="single fresh-session flagship run")
+    ap.add_argument("--cpus", type=int, default=NUM_CPUS)
+    ap.add_argument("--docs", type=int, default=SCALING_DOCS)
+    args = ap.parse_args()
+
+    if args.scaling:
+        result = run_scaling()
+    elif args.flagship:
+        result = run_flagship(args.cpus, args.docs, SCALING_SEED)
+    else:
+        result = run_queries(SF_DIR, args.cpus)
+
+    print(json.dumps(result))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -31,8 +31,27 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 _FN_CHUNK = 16
 
 
+class _Workspace:
+    """Reusable scratch buffers for the chunked kernel.  Fresh numpy
+    allocations page-fault on first touch, which on a virtualized sandbox can
+    cost 10-100x the arithmetic; actors therefore hold one workspace across
+    batches (stateful-actor-pool pattern, SURVEY.md §2.2 I4)."""
+
+    def __init__(self) -> None:
+        self.h = np.empty(0, dtype=np.uint64)
+
+    def get(self, c: int, m: int) -> np.ndarray:
+        need = c * m
+        if self.h.size < need:
+            self.h = np.empty(int(need * 1.3) + 64, dtype=np.uint64)
+        return self.h[:need].reshape(c, m)
+
+
 def minhash_matrix(
-    offsets: np.ndarray, values: np.ndarray, params: MinHashParams
+    offsets: np.ndarray,
+    values: np.ndarray,
+    params: MinHashParams,
+    ws: _Workspace | None = None,
 ) -> np.ndarray:
     """Minhash values for N ragged shingle lists.
 
@@ -46,26 +65,38 @@ def minhash_matrix(
     out = np.empty((n, nf), dtype=np.uint64)
     if len(values) == 0:
         return out
-    vplus = (values % HASH_PRIME).astype(np.uint64) + np.uint64(1)
+    if ws is None:
+        ws = _Workspace()
+    m = len(values)
+    vplus = (values % HASH_PRIME).astype(np.uint64)
+    vplus += np.uint64(1)
+    prime = np.uint64(HASH_PRIME)
     # reduceat rejects a start index == len(values) (trailing empty docs);
     # clamp — empty-doc rows are garbage here and masked by band_hashes().
-    starts = np.minimum(offsets[:-1], len(values) - 1)
+    starts = np.minimum(offsets[:-1], m - 1)
     for lo in range(0, nf, _FN_CHUNK):
         hi = min(lo + _FN_CHUNK, nf)
+        c = hi - lo
         a = params.A[lo:hi, None]  # (C,1)
         b = params.B[lo:hi, None]
-        h = (vplus[None, :] * a + b) % np.uint64(HASH_PRIME)  # (C, M)
+        h = ws.get(c, m)  # (C, M) scratch, reused across chunks/batches
+        np.multiply(vplus[None, :], a, out=h)
+        np.add(h, b, out=h)
+        np.remainder(h, prime, out=h)
         out[:, lo:hi] = np.minimum.reduceat(h, starts, axis=1).T
     return out
 
 
 def band_hashes(
-    offsets: np.ndarray, values: np.ndarray, params: MinHashParams
+    offsets: np.ndarray,
+    values: np.ndarray,
+    params: MinHashParams,
+    ws: _Workspace | None = None,
 ) -> np.ndarray:
     """uint64 (N, L) band-hash matrix; empty docs get the sentinel in every
     band (JaccardLshModel.java:37-38 semantics — see module docstring)."""
     n = len(offsets) - 1
-    mins = minhash_matrix(offsets, values, params)  # (N, L*k)
+    mins = minhash_matrix(offsets, values, params, ws)  # (N, L*k)
     mins = mins.reshape(n, params.L, params.k)
     # FNV-1a over the sequence [ixL, m_0, .., m_{k-1}] per (doc, table).
     h = np.full((n, params.L), _FNV_OFFSET, dtype=np.uint64)

@@ -147,12 +147,15 @@ class MinHashBandStage:
     """
 
     def __init__(self, lsh: JaccardLshConfig):
+        from elastiknn_ray.models.minhash import _Workspace
+
         self.params = derive_minhash(lsh)
         self.L = lsh.L
+        self.ws = _Workspace()  # persistent scratch — see minhash._Workspace
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         offsets, values = decode_u64_lists(batch.column("shingles"))
-        bh = band_hashes(offsets, values, self.params)  # (N, L) uint64
+        bh = band_hashes(offsets, values, self.params, self.ws)  # (N, L) uint64
         doc_ids = batch.column("doc_id").to_numpy()
         empty = (offsets[1:] - offsets[:-1]) == 0
         n_bands = np.where(empty, 1, self.L).astype(np.int64)

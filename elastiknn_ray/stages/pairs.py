@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Sum
 
 PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
@@ -55,23 +55,92 @@ def pairs_within(doc_ids: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]
     return np.concatenate(a_parts), np.concatenate(b_parts)
 
 
-def emit_pairs_fn(cap: int):
-    """``groupby("band_hash").map_groups`` function emitting candidate pairs."""
+def emit_pairs_partition(table: pa.Table, cap: int) -> pa.Table:
+    """Vectorized pair emission over one hash partition of band rows.
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        a, b = pairs_within(group["doc_id"].to_numpy(), cap)
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+    Sorts the partition by band_hash, finds equal-hash runs with one
+    ``np.diff``, and emits pairs only for runs of length >= 2 (rare relative
+    to the singleton majority).  Pairs are pre-deduped WITH counts inside the
+    partition, shrinking the downstream cross-band dedup shuffle (a
+    combiner in the MapReduce sense).
+    """
+    hashes = table.column("band_hash").to_numpy(zero_copy_only=False)
+    docs = table.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(hashes, kind="stable")
+    hashes = hashes[order]
+    docs = docs[order]
+    # run boundaries of equal band_hash
+    starts = np.flatnonzero(np.r_[True, hashes[1:] != hashes[:-1]])
+    ends = np.r_[starts[1:], len(hashes)]
+    a_parts, b_parts = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        a, b = pairs_within(docs[s:e], cap)
+        a_parts.append(a)
+        b_parts.append(b)
+    if not a_parts:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    # partial (combiner-style) dedup: unique (a, b) with multiplicity, via
+    # lexsort + run-length detection (doc ids are full 63-bit hashes)
+    order = np.lexsort((b, a))
+    a = a[order]
+    b = b[order]
+    new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.r_[starts, len(a)])
+    return pa.table(
+        {
+            "doc_a": pa.array(a[starts], pa.int64()),
+            "doc_b": pa.array(b[starts], pa.int64()),
+            "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
 
-    return emit_pairs
 
-
-def candidate_pairs(bands, cap: int, *, count_col: str = "n_bands"):
+def candidate_pairs(
+    bands, cap: int, *, count_col: str = "n_bands", num_partitions: int = 64
+):
     """bands(doc_id, band_hash) → deduped pairs (doc_a, doc_b, n_bands).
 
-    Two shuffles: the band grouping and the cross-band pair dedup; both keys
-    are uniform hashes so only intra-band skew (handled by the cap) matters.
+    Two shuffles, both on uniform keys: (1) co-locate equal band hashes by
+    grouping on the coarse key ``band_hash % num_partitions`` — each group is
+    a whole partition processed by ONE vectorized kernel call (not one Python
+    call per band group); (2) cross-band pair dedup, fed by per-partition
+    partial counts (combiner) so shuffle rows ≈ distinct pairs, not raw pairs.
+    The coarse key is uniform (band hashes are uniform); intra-partition hot
+    band groups are bounded by the cap, so partition work is O(rows + pairs).
     """
-    pairs = bands.groupby("band_hash").map_groups(
-        emit_pairs_fn(cap), batch_format="pandas"
+    keyed = bands.map_batches(
+        lambda t: t.append_column(
+            "part",
+            pa.array(
+                t.column("band_hash").to_numpy(zero_copy_only=False)
+                % np.uint64(num_partitions),
+                pa.uint64(),
+            ),
+        ),
+        batch_format="pyarrow",
     )
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name=count_col))
+    pairs = keyed.groupby("part").map_groups(
+        lambda t, cap=cap: emit_pairs_partition(t, cap),
+        batch_format="pyarrow",
+    )
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("cnt", alias_name=count_col))
+        .map_batches(
+            lambda t, c=count_col: t.set_column(
+                t.schema.get_field_index(c), c, t.column(c).cast(pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    )
