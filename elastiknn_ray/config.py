@@ -105,3 +105,27 @@ class DedupConfig:
     lsh: JaccardLshConfig = field(default_factory=JaccardLshConfig)
     tau: float = 0.8
     hot_band_cap: int = 256
+
+
+@dataclass(frozen=True)
+class SimHashDedupConfig:
+    """Operating point of the SimHash/Hamming near-dup path (SURVEY.md §7 M6).
+
+    ``dims`` (multiple of 64) is the packed signature width; ``lsh`` the
+    bit-sampling band layout (L tables × k sampled bits, HammingLshModel
+    semantics); ``tau`` the exact packed-Hamming acceptance threshold (e.g.
+    0.95 over 64 bits accepts pairs differing in <= 3 bits).
+
+    Default L=8, k=16 over dims=64: a pair at Hamming distance 3 collides in
+    a table with p = C(61,16)/C(64,16) ≈ 0.44 → candidate recall
+    1-(1-p)^8 ≈ 0.99; with k=16 sampled bits per table, bucket counts are
+    ~2^16 per table so candidate groups stay small.
+    """
+
+    shingle: ShingleConfig = field(default_factory=ShingleConfig)
+    dims: int = 64
+    lsh: HammingLshConfig = field(
+        default_factory=lambda: HammingLshConfig(dims=64, L=8, k=16, seed=0)
+    )
+    tau: float = 0.95
+    hot_band_cap: int = 256

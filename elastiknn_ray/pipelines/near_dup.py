@@ -22,7 +22,11 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from elastiknn_ray.config import DedupConfig
-from elastiknn_ray.stages.hashing import MinHashBandStage, SignatureStage, prepare_batch
+from elastiknn_ray.stages.hashing import (
+    SignatureStage,
+    minhash_bands_fn,
+    prepare_batch,
+)
 from elastiknn_ray.stages.pairs import candidate_pairs
 from elastiknn_ray.stages.verify import verify_pairs
 from elastiknn_ray.stages.components import connected_components
@@ -41,12 +45,13 @@ def signatures_of(pages, cfg: DedupConfig, *, band_concurrency=None):
     sigs = docs.map_batches(
         SignatureStage(cfg.shingle), batch_format="pyarrow", batch_size=1024
     )
+    # task pool + worker-process model cache (hashing._MODEL_CACHE): the
+    # hashing stage scales with the cluster, not a fixed actor count
     bands = sigs.map_batches(
-        MinHashBandStage,
-        fn_constructor_kwargs={"lsh": cfg.lsh},
+        minhash_bands_fn,
+        fn_kwargs={"lsh": cfg.lsh},
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=band_concurrency or (1, 8),
     )
     return sigs, bands
 
@@ -63,6 +68,46 @@ def near_dup_pipeline(
     sigs = sigs.materialize()
     cands = candidate_pairs(bands, cfg.hot_band_cap)
     verified = verify_pairs(cands, sigs, cfg.tau, num_partitions=num_partitions)
+    verified = verified.materialize()
+    edges = verified.select_columns(["doc_a", "doc_b"]).rename_columns(
+        {"doc_a": "u", "doc_b": "v"}
+    )
+    clusters = connected_components(edges)
+    return NearDupResult(signatures=sigs, pairs=verified, clusters=clusters)
+
+
+def simhash_near_dup_pipeline(
+    pages, cfg, *, num_partitions: int = 8, band_concurrency=None
+) -> NearDupResult:
+    """The SimHash/Hamming near-dup path (SURVEY.md §7 M6): shingle →
+    SimHash packed signature → bit-sampling bands (HammingLshModel mirror)
+    → candidate pairs (shared shuffle stage) → exact packed-Hamming verify
+    → union-find.  ``cfg`` is a SimHashDedupConfig.
+    """
+    from elastiknn_ray.stages.simhash import (
+        BitSampleBandStage,
+        SimHashStage,
+        verify_hamming_pairs,
+    )
+
+    docs = pages.map_batches(prepare_batch, batch_format="pyarrow")
+    shingled = docs.map_batches(
+        SignatureStage(cfg.shingle), batch_format="pyarrow", batch_size=1024
+    )
+    sigs = shingled.map_batches(
+        SimHashStage(cfg.dims), batch_format="pyarrow", batch_size=1024
+    ).materialize()
+    bands = sigs.map_batches(
+        BitSampleBandStage,
+        fn_constructor_kwargs={"lsh": cfg.lsh},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=band_concurrency or (1, 8),
+    )
+    cands = candidate_pairs(bands, cfg.hot_band_cap)
+    verified = verify_hamming_pairs(
+        cands, sigs, cfg.dims, cfg.tau, num_partitions=num_partitions
+    )
     verified = verified.materialize()
     edges = verified.select_columns(["doc_a", "doc_b"]).rename_columns(
         {"doc_a": "u", "doc_b": "v"}

@@ -203,7 +203,63 @@ def q_lsh_clusters(sf_dir: str):
     return res.clusters
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash/Hamming near-dup pairs (bit-sampling LSH + exact packed-Hamming
+    verify; rows-only driver check — signature arithmetic is not
+    SQL-expressible.  Pytest oracles: tests/test_simhash.py)."""
+    from elastiknn_ray.config import SimHashDedupConfig
+    from elastiknn_ray.pipelines.near_dup import simhash_near_dup_pipeline
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = simhash_near_dup_pipeline(docs, SimHashDedupConfig(), num_partitions=8)
+    return res.pairs
+
+
+def q_simhash_clusters(sf_dir: str):
+    from elastiknn_ray.config import SimHashDedupConfig
+    from elastiknn_ray.pipelines.near_dup import simhash_near_dup_pipeline
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = simhash_near_dup_pipeline(docs, SimHashDedupConfig(), num_partitions=8)
+    return res.clusters
+
+
 # ---------------------------------------------------------------- embeddings
+
+EMB_COS_TAU = 0.9
+
+
+def q_emb_cosine_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup (training-data op): all pairs with
+    cos >= 0.9, brute-force broadcast path; integer-only output."""
+    from elastiknn_ray.stages.cosine_lsh import cosine_dup_pairs_exact
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_dup_pairs_exact(emb, EMB_COS_TAU)
+
+
+def q_emb_cosine_lsh_pairs(sf_dir: str):
+    """Hyperplane-LSH candidate generation + exact cosine verify (the scale
+    path for embedding near-dup; H3 CosineLshModel).  Rows-only driver check;
+    recall vs the exact path is pinned in tests/test_cosine_lsh.py."""
+    from elastiknn_ray.config import CosineLshConfig
+    from elastiknn_ray.stages.cosine_lsh import CosineLshBandStage, verify_cosine_pairs
+    from elastiknn_ray.stages.pairs import candidate_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    dims = len(emb.take(1)[0]["embedding"])
+    bands = emb.map_batches(
+        CosineLshBandStage,
+        fn_constructor_kwargs={"lsh": CosineLshConfig(dims=dims, L=32, k=8, seed=0)},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
+    cands = candidate_pairs(bands, cap=256)
+    return verify_cosine_pairs(cands, emb, EMB_COS_TAU, num_partitions=4).select_columns(
+        ["vec_a", "vec_b"]
+    )
+
 
 def q_knn_exact_cosine(sf_dir: str):
     """Brute-force cosine kNN: queries = vec_id < 10, k = 5; output ranks
@@ -308,6 +364,10 @@ QUERIES = {
     "dup_clusters_exact": q_dup_clusters_exact,
     "lsh_dup_pairs": q_lsh_dup_pairs,
     "lsh_clusters": q_lsh_clusters,
+    "simhash_pairs": q_simhash_pairs,
+    "simhash_clusters": q_simhash_clusters,
+    "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
+    "emb_cosine_lsh_pairs": q_emb_cosine_lsh_pairs,
     "knn_exact_cosine": q_knn_exact_cosine,
     "events_first_by_user_type": q_events_first_by_user_type,
     "events_agg": q_events_agg,
@@ -368,6 +428,10 @@ ORACLE_SQL = {
           SELECT r.x, bi.b FROM reach r JOIN bi ON r.y = bi.a
         )
         SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id FROM reach GROUP BY x""",
+    "emb_cosine_dup_pairs": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9""",
     "knn_exact_cosine": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
                    WHERE vec_id < 10),

@@ -221,13 +221,14 @@ def pages_dataset(n: int, seed: int = 42, *, override_num_blocks: int | None = N
     import ray.data as rd
 
     ds = rd.range(n, override_num_blocks=override_num_blocks)
-    return ds.map_batches(
-        PageGen,
-        fn_constructor_kwargs={"seed": seed, "n_total": n},
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=(1, 8),
-    )
+
+    # plain-function task pool (NOT an actor pool): generation is stateless
+    # and CPU-heavy, so parallelism must scale with the cluster, not with a
+    # fixed actor count
+    def gen(batch: pa.Table, _seed=seed, _n=n) -> pa.Table:
+        return make_rows(batch.column("id").to_numpy(), _seed, _n)
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=2048)
 
 
 def pages_table(n: int, seed: int = 42) -> pa.Table:

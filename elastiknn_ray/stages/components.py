@@ -10,11 +10,13 @@ in O(log n) rounds and needs only per-node neighbor groups (no joins):
 - small-star: direct edges large→small; for every node u, connect u and all
   its (smaller) neighbors to m = min(Γ(u) ∪ {u}).
 
-Each operation is ``map_batches`` (edge re-direction) + ``groupby(u)`` +
-per-group vectorized emission.  The edge set is re-materialized per round
-(it is orders of magnitude smaller than the corpus — only verified dup
-pairs); convergence is detected by an order-insensitive checksum aggregate,
-never by collecting edges to the driver.
+Both stars are realized as ONE vectorized kernel call per hash partition:
+edges are grouped on the coarse key ``u % P`` (all of a node's edges land in
+one partition), and the per-node neighborhood scan inside a partition is a
+lexsort + run-length sweep — no per-node Python calls.  The edge set is
+re-materialized per round (it is orders of magnitude smaller than the corpus
+— only verified dup pairs); convergence is detected by an order-insensitive
+checksum aggregate, never by collecting edges to the driver.
 
 Output: labels (doc_id, cluster_id) with cluster_id = min doc_id of the
 component — the determinism contract of SURVEY.md §4.
@@ -50,20 +52,87 @@ def _direct_down(batch: pa.Table) -> pa.Table:
     return pa.table({"u": pa.array(hi[keep], pa.int64()), "v": pa.array(lo[keep], pa.int64())})
 
 
-def _large_star_group(g: pd.DataFrame) -> pd.DataFrame:
-    u = int(g["u"].iloc[0])
-    nbrs = np.unique(g["v"].to_numpy())
-    m = min(u, int(nbrs[0]))
-    bigger = nbrs[nbrs > u]
-    return pd.DataFrame({"u": bigger, "v": np.full(len(bigger), m, dtype=np.int64)})
+def _sorted_runs(u: np.ndarray, v: np.ndarray):
+    """Dedup + sort edges by (u, v); return (u, v, starts, ends) where each
+    [start, end) slice is one node's ascending neighbor list."""
+    order = np.lexsort((v, u))
+    u = u[order]
+    v = v[order]
+    keep = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+    u = u[keep]
+    v = v[keep]
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    ends = np.r_[starts[1:], len(u)]
+    return u, v, starts, ends
 
 
-def _small_star_group(g: pd.DataFrame) -> pd.DataFrame:
-    u = int(g["u"].iloc[0])
-    nbrs = np.unique(g["v"].to_numpy())  # all < u by construction
-    m = int(nbrs[0])
-    out = np.append(nbrs[1:], u)  # everything except the min links to the min
-    return pd.DataFrame({"u": out, "v": np.full(len(out), m, dtype=np.int64)})
+def _large_star_partition(t: pa.Table) -> pa.Table:
+    """Vectorized large-star over one partition: emit (b, m) for every
+    neighbor b > u, where m = min(Γ(u) ∪ {u})."""
+    u, v, starts, ends = _sorted_runs(
+        t.column("u").to_numpy(zero_copy_only=False),
+        t.column("v").to_numpy(zero_copy_only=False),
+    )
+    if len(u) == 0:
+        return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    node = u[starts]
+    m = np.minimum(node, v[starts])  # v sorted asc within run -> first is min
+    run_ix = np.repeat(np.arange(len(starts)), ends - starts)
+    bigger = v > u  # neighbor strictly larger than its node
+    return pa.table(
+        {
+            "u": pa.array(v[bigger], pa.int64()),
+            "v": pa.array(m[run_ix[bigger]], pa.int64()),
+        }
+    )
+
+
+def _small_star_partition(t: pa.Table) -> pa.Table:
+    """Vectorized small-star over one partition of large→small edges: for
+    each node u (all neighbors < u), link u and every non-min neighbor to
+    the min neighbor."""
+    u, v, starts, ends = _sorted_runs(
+        t.column("u").to_numpy(zero_copy_only=False),
+        t.column("v").to_numpy(zero_copy_only=False),
+    )
+    if len(u) == 0:
+        return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    node = u[starts]
+    m = v[starts]  # min neighbor per run
+    run_ix = np.repeat(np.arange(len(starts)), ends - starts)
+    not_min = np.ones(len(u), dtype=bool)
+    not_min[starts] = False  # drop each run's min neighbor
+    out_u = np.concatenate([v[not_min], node])
+    out_v = np.concatenate([m[run_ix[not_min]], m])
+    return pa.table({"u": pa.array(out_u, pa.int64()), "v": pa.array(out_v, pa.int64())})
+
+
+#: coarse shuffle fan-out for the star rounds; all edges of a node share a
+#: partition, each partition is one vectorized kernel call
+_CC_PARTITIONS = 32
+
+
+def _with_part(ds):
+    return ds.map_batches(
+        lambda t: t.append_column(
+            "part",
+            pa.array(
+                t.column("u").to_numpy(zero_copy_only=False) % _CC_PARTITIONS,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _star_round(ds, kernel):
+    return (
+        _with_part(ds)
+        .groupby("part")
+        .map_groups(
+            lambda t, k=kernel: k(t.drop_columns(["part"])), batch_format="pyarrow"
+        )
+    )
 
 
 def _checksum_batch(batch: pa.Table) -> pa.Table:
@@ -104,18 +173,14 @@ def connected_components(edges, *, max_rounds: int = 50):
 
     prev = (-1, -1)
     for _ in range(max_rounds):
-        edges = (
-            edges.map_batches(_bidirect, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(_large_star_group, batch_format="pandas")
+        edges = _star_round(
+            edges.map_batches(_bidirect, batch_format="pyarrow"),
+            _large_star_partition,
         )
-        edges = (
-            edges.map_batches(_direct_down, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(_small_star_group, batch_format="pandas")
-            .map_batches(_direct_down, batch_format="pyarrow")
-            .materialize()
-        )
+        edges = _star_round(
+            edges.map_batches(_direct_down, batch_format="pyarrow"),
+            _small_star_partition,
+        ).map_batches(_direct_down, batch_format="pyarrow").materialize()
         cur = _edge_checksum(edges)
         if cur == prev:
             break
@@ -136,7 +201,19 @@ def connected_components(edges, *, max_rounds: int = 50):
         )
 
     labels = edges.map_batches(to_labels, batch_format="pyarrow")
-    # roots may repeat across batches — one final tiny dedup
-    return labels.groupby("doc_id").map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # roots may repeat across batches; duplicates agree on cluster_id, so a
+    # vectorized min-aggregate dedups them (no per-group Python)
+    from ray.data.aggregate import Min
+
+    return (
+        labels.groupby("doc_id")
+        .aggregate(Min("cluster_id", alias_name="cluster_id"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("cluster_id"),
+                "cluster_id",
+                t.column("cluster_id").cast(pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
     )

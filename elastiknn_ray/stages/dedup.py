@@ -54,12 +54,38 @@ def exact_dedup_groups(docs, *, id_col: str = "doc_id", text_col: str = "text"):
     return agg.select_columns(["doc_id", "n_dups"])
 
 
-def keep_first_in_group(docs, keys: list[str], order_by: list[str], *, keep_cols: list[str]):
+def keep_first_in_group(
+    docs,
+    keys: list[str],
+    order_by: list[str],
+    *,
+    keep_cols: list[str],
+    num_partitions: int = 32,
+):
     """First row per key group under a total order — e.g. first event per
     (user_id, event_type) by (ts, event_id).  ``order_by`` must be a total
-    order for determinism."""
+    order for determinism.
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_by).head(1)[keep_cols]
+    One shuffle on the coarse key ``hash(keys) % num_partitions`` (all rows of
+    a group co-locate); per partition the group-first is ONE pandas C-speed
+    sort + groupby-head, not a Python call per group.
+    """
 
-    return docs.groupby(keys).map_groups(first_row, batch_format="pandas")
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        df = df.copy()
+        df["_part"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return df
+
+    def first_rows(part: pd.DataFrame) -> pd.DataFrame:
+        return (
+            part.sort_values(order_by)
+            .groupby(keys, sort=False)
+            .head(1)[keep_cols]
+        )
+
+    return (
+        docs.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(first_rows, batch_format="pandas")
+    )

@@ -156,16 +156,44 @@ class MinHashBandStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         offsets, values = decode_u64_lists(batch.column("shingles"))
         bh = band_hashes(offsets, values, self.params, self.ws)  # (N, L) uint64
-        doc_ids = batch.column("doc_id").to_numpy()
-        empty = (offsets[1:] - offsets[:-1]) == 0
-        n_bands = np.where(empty, 1, self.L).astype(np.int64)
-        out_docs = np.repeat(doc_ids, n_bands)
-        keep = np.ones(bh.shape, dtype=bool)
-        keep[empty, 1:] = False  # one sentinel row per empty doc
-        out_hashes = bh[keep]
-        return pa.table(
-            {
-                "doc_id": pa.array(out_docs, pa.int64()),
-                "band_hash": pa.array(out_hashes, pa.uint64()),
-            }
-        )
+        return _explode_bands(batch, offsets, bh, self.L)
+
+
+#: Worker-process-level model cache: {config: (params, workspace)}.  Ray task
+#: pools reuse worker processes, so caching here gives actor-style parameter
+#: reuse (the reference's per-NODE ModelCache, ModelCache.scala:10-27) while
+#: keeping task-pool scheduling — parallelism scales with the cluster instead
+#: of a fixed actor count.
+_MODEL_CACHE: dict = {}
+
+
+def minhash_bands_fn(batch: pa.Table, lsh: JaccardLshConfig) -> pa.Table:
+    """Plain-function variant of MinHashBandStage for task-pool map_batches."""
+    from elastiknn_ray.models.minhash import _Workspace
+
+    entry = _MODEL_CACHE.get(lsh)
+    if entry is None:
+        entry = (derive_minhash(lsh), _Workspace())
+        _MODEL_CACHE[lsh] = entry
+    params, ws = entry
+    offsets, values = decode_u64_lists(batch.column("shingles"))
+    bh = band_hashes(offsets, values, params, ws)
+    return _explode_bands(batch, offsets, bh, lsh.L)
+
+
+def _explode_bands(
+    batch: pa.Table, offsets: np.ndarray, bh: np.ndarray, L: int
+) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_numpy()
+    empty = (offsets[1:] - offsets[:-1]) == 0
+    n_bands = np.where(empty, 1, L).astype(np.int64)
+    out_docs = np.repeat(doc_ids, n_bands)
+    keep = np.ones(bh.shape, dtype=bool)
+    keep[empty, 1:] = False  # one sentinel row per empty doc
+    out_hashes = bh[keep]
+    return pa.table(
+        {
+            "doc_id": pa.array(out_docs, pa.int64()),
+            "band_hash": pa.array(out_hashes, pa.uint64()),
+        }
+    )

@@ -1,0 +1,152 @@
+"""Ray Data stages for the SimHash/Hamming near-dup path (SURVEY.md §7 M6).
+
+    signatures(doc_id, shingles)
+      → SimHashStage:        (doc_id, simhash large_binary[8*W])   [tasks]
+      → BitSampleBandStage:  (doc_id, band_hash) exploded          [actor pool]
+      → candidate_pairs (shared with the Jaccard path)
+      → verify_hamming_pairs: join on doc_id + packed popcount     [joins]
+
+Signatures are W = dims/64 little-endian uint64 lanes stored as a
+fixed-width binary column (Dataset.join rejects large_list payloads, and
+fixed-width blobs decode zero-copy to an (N, W) lane matrix).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from elastiknn_ray.config import HammingLshConfig
+from elastiknn_ray.models.exact import hamming_similarity_packed
+from elastiknn_ray.models.params import derive_bitsample
+from elastiknn_ray.models.simhash import bitsample_band_hashes, simhash_signatures
+from elastiknn_ray.stages.hashing import decode_u64_lists
+
+
+def encode_sigs(sig: np.ndarray) -> pa.Array:
+    """uint64 (N, W) lane matrix → binary column of 8*W-byte LE blobs."""
+    n, w = sig.shape
+    flat = np.ascontiguousarray(sig).view(np.uint8).reshape(n * w * 8)
+    offsets = np.arange(0, (n + 1) * w * 8, w * 8, dtype=np.int64)
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(flat)]
+    )
+
+
+def decode_sigs(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Binary signature column → uint64 (N, W) lane matrix (zero-copy)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_binary(col.type):
+        col = col.cast(pa.large_binary())
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 1), dtype=np.uint64)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[col.offset : col.offset + n + 1]
+    width = int(offs[1] - offs[0]) // 8
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint64)
+    return data[offs[0] // 8 : offs[-1] // 8].reshape(n, width)
+
+
+class SimHashStage:
+    """(doc_id, shingles) → (doc_id, simhash).  Stateless tasks."""
+
+    def __init__(self, dims: int):
+        self.dims = dims
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        offsets, values = decode_u64_lists(batch.column("shingles"))
+        sig = simhash_signatures(offsets, values, self.dims)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "simhash": encode_sigs(sig),
+            }
+        )
+
+
+class BitSampleBandStage:
+    """(doc_id, simhash) → exploded (doc_id, band_hash) rows.
+
+    Actor pool: sampled bit positions are re-derived from (config, seed) once
+    per actor (ModelCache.scala:10-27 semantics via params.derive_bitsample,
+    which reproduces HammingLshModel.java:81-92's rejection sampling).
+    """
+
+    def __init__(self, lsh: HammingLshConfig):
+        self.params = derive_bitsample(lsh)
+        self.L = lsh.L
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = decode_sigs(batch.column("simhash"))
+        bh = bitsample_band_hashes(sig, self.params)  # (N, L)
+        doc_ids = batch.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_ids, self.L), pa.int64()),
+                "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+            }
+        )
+
+
+def _hamming_batch(batch: pa.Table, dims: int) -> pa.Table:
+    sa = decode_sigs(batch.column("simhash_a"))
+    sb = decode_sigs(batch.column("simhash_b"))
+    sim = hamming_similarity_packed(sa, sb, dims)
+    return pa.table(
+        {
+            "doc_a": batch.column("doc_a"),
+            "doc_b": batch.column("doc_b"),
+            "n_bands": batch.column("n_bands"),
+            "hamming": pa.array(sim, pa.float64()),
+        }
+    )
+
+
+def verify_hamming_pairs(
+    pairs, signatures, dims: int, tau: float, *, num_partitions: int = 8
+):
+    """pairs(doc_a, doc_b, n_bands) ⋈ signatures(doc_id, simhash) both sides
+    → packed Hamming similarity → filter(hamming >= tau).
+
+    Decisions use the EXACT signature similarity, never the band-collision
+    count (the reference's re-scoring contract, HashingQuery.scala:23-38).
+    """
+    import ray.data as rd
+
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "n_bands": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.float64()),
+                }
+            )
+        )
+    sig = signatures.select_columns(["doc_id", "simhash"])
+    a = pairs.join(
+        sig, join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=("doc_id",),
+    )
+    a = a.rename_columns({"simhash": "simhash_a"}).select_columns(
+        ["doc_a", "doc_b", "n_bands", "simhash_a"]
+    )
+    b = a.join(
+        sig, join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=("doc_id",),
+    )
+    b = b.rename_columns({"simhash": "simhash_b"}).select_columns(
+        ["doc_a", "doc_b", "n_bands", "simhash_a", "simhash_b"]
+    )
+    scored = b.map_batches(
+        lambda t, d=dims: _hamming_batch(t, d), batch_format="pyarrow"
+    )
+    return scored.map_batches(
+        lambda t, tau=tau: t.filter(
+            pa.compute.greater_equal(t.column("hamming"), pa.scalar(float(tau)))
+        ),
+        batch_format="pyarrow",
+    )

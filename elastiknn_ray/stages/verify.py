@@ -31,15 +31,167 @@ def _jaccard_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def verify_pairs(pairs, signatures, tau: float, *, num_partitions: int = 32):
-    """pairs(doc_a, doc_b, n_bands) ⋈ signatures(doc_id, shingles) on both
-    sides → exact Jaccard → filter(jaccard >= tau).
+#: Below this many distinct candidate doc_ids the verify stage gathers just
+#: those docs' signatures into the object store once and verifies with a pure
+#: map_batches lookup (no shuffle at all).  Above it, falls back to the
+#: two-sided shuffle join.  ~1M docs × ~6KB signatures ≈ 6GB — the upper end
+#: of a sane single-object broadcast on a 128GiB-heap worker fleet.
+BROADCAST_DOC_LIMIT = 1_000_000
 
-    Returns (doc_a, doc_b, n_bands, jaccard).  Both joins are shuffle hash
-    joins keyed on doc id (uniformly distributed — ids are url hashes), so no
-    join-side skew handling is needed; pair-side skew was already capped at
-    candidate generation.
+
+class _BroadcastJaccardVerify:
+    """Actor-pool verifier holding the (sorted doc_id → shingle list) gather:
+    per pair batch, two np.searchsorted lookups + the batched exact-Jaccard
+    kernel.  The gather object lives in the object store once (ray.put) and
+    is read zero-copy per actor — never re-shipped per batch."""
+
+    def __init__(self, sig_ref, tau: float):
+        import ray
+
+        s = ray.get(sig_ref) if isinstance(sig_ref, ray.ObjectRef) else sig_ref
+        self.ids = s["ids"]  # int64 (D,) sorted
+        self.offsets = s["offsets"]  # int64 (D+1,)
+        self.values = s["values"]  # uint64 flat
+        self.tau = float(tau)
+
+    def _gather(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        ix = np.searchsorted(self.ids, doc_ids)
+        lens = self.offsets[ix + 1] - self.offsets[ix]
+        out_off = np.zeros(len(ix) + 1, dtype=np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        out_vals = np.empty(out_off[-1], dtype=np.uint64)
+        # vectorized ragged gather: flat index = start[i] + arange within len
+        flat_ix = np.repeat(self.offsets[ix], lens) + (
+            np.arange(out_off[-1]) - np.repeat(out_off[:-1], lens)
+        )
+        out_vals[:] = self.values[flat_ix]
+        return out_off, out_vals
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy()
+        db = batch.column("doc_b").to_numpy()
+        ao, av = self._gather(da)
+        bo, bv = self._gather(db)
+        j = jaccard_similarity(ao, av, bo, bv)
+        keep = j >= self.tau
+        return pa.table(
+            {
+                "doc_a": pa.array(da[keep], pa.int64()),
+                "doc_b": pa.array(db[keep], pa.int64()),
+                "n_bands": batch.column("n_bands").filter(pa.array(keep)),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
+
+
+def _gather_candidate_signatures(pairs, signatures):
+    """Collect the signatures of docs appearing in ``pairs`` into flat numpy
+    arrays (sorted ids + ragged values) for the broadcast verifier.
+    Returns None when the candidate doc set exceeds BROADCAST_DOC_LIMIT.
+
+    Driver-side work is bounded: per-batch uniques are pre-reduced in
+    distributed map_batches; the driver only unions the (deduped, 8-byte)
+    id arrays and concatenates the filtered signature batches, both of which
+    are <= the broadcast object we are about to create anyway.
     """
+    import ray
+
+    if pairs.count() > 2 * BROADCAST_DOC_LIMIT:
+        return None
+
+    uniq = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pa.array(
+                    np.unique(
+                        np.concatenate(
+                            [
+                                t.column("doc_a").to_numpy(zero_copy_only=False),
+                                t.column("doc_b").to_numpy(zero_copy_only=False),
+                            ]
+                        )
+                    ),
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    id_parts = [
+        b.column("doc_id").to_numpy(zero_copy_only=False)
+        for b in uniq.iter_batches(batch_format="pyarrow")
+    ]
+    cand_ids = (
+        np.unique(np.concatenate(id_parts)) if id_parts else np.empty(0, np.int64)
+    )
+    if len(cand_ids) > BROADCAST_DOC_LIMIT:
+        return None
+    ids_ref = ray.put(cand_ids)
+
+    def filt(t: pa.Table, _ids_ref=ids_ref) -> pa.Table:
+        ids = ray.get(_ids_ref)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return t.filter(pa.array(np.zeros(len(d), dtype=bool)))
+        pos = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
+        return t.filter(pa.array(ids[pos] == d))
+
+    hits = signatures.select_columns(["doc_id", "shingles"]).map_batches(
+        filt, batch_format="pyarrow"
+    )
+    parts = []
+    for b in hits.iter_batches(batch_format="pyarrow"):
+        off, vals = decode_u64_lists(b.column("shingles"))
+        parts.append((b.column("doc_id").to_numpy(zero_copy_only=False), off, vals))
+    if not parts:
+        return {
+            "ids": np.empty(0, np.int64),
+            "offsets": np.zeros(1, np.int64),
+            "values": np.empty(0, np.uint64),
+        }
+    all_ids = np.concatenate([p[0] for p in parts])
+    lens = np.concatenate([np.diff(p[1]) for p in parts])
+    all_vals = np.concatenate([p[2] for p in parts])
+    order = np.argsort(all_ids, kind="stable")
+    # re-order the ragged values by sorted doc id
+    off0 = np.zeros(len(all_ids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off0[1:])
+    sorted_lens = lens[order]
+    off1 = np.zeros(len(all_ids) + 1, dtype=np.int64)
+    np.cumsum(sorted_lens, out=off1[1:])
+    flat_ix = np.repeat(off0[:-1][order], sorted_lens) + (
+        np.arange(off1[-1]) - np.repeat(off1[:-1], sorted_lens)
+    )
+    return {
+        "ids": all_ids[order],
+        "offsets": off1,
+        "values": all_vals[flat_ix],
+    }
+
+
+def verify_pairs(
+    pairs,
+    signatures,
+    tau: float,
+    *,
+    num_partitions: int = 32,
+    concurrency=(1, 8),
+):
+    """pairs(doc_a, doc_b, n_bands) × signatures(doc_id, shingles) → exact
+    Jaccard → filter(jaccard >= tau).  Returns (doc_a, doc_b, n_bands,
+    jaccard).
+
+    Two physical plans, chosen by candidate-doc count:
+
+    - **broadcast gather** (candidate docs <= BROADCAST_DOC_LIMIT): ship ONE
+      object-store copy of just the candidate docs' signatures; verification
+      is a shuffle-free map_batches over the pair stream.  The common case —
+      the candidate set is orders of magnitude smaller than the corpus.
+    - **shuffle join** fallback: two hash joins keyed on doc id (uniform url
+      hashes — no join-side skew; pair-side skew was capped at candidate
+      generation).
+    """
+    import ray
     import ray.data as rd
 
     # A zero-row pair set loses its schema through the shuffle and breaks the
@@ -58,6 +210,18 @@ def verify_pairs(pairs, signatures, tau: float, *, num_partitions: int = 32):
                 }
             )
         )
+
+    gathered = _gather_candidate_signatures(pairs, signatures)
+    if gathered is not None:
+        sig_ref = ray.put(gathered)
+        return pairs.map_batches(
+            _BroadcastJaccardVerify,
+            fn_constructor_kwargs={"sig_ref": sig_ref, "tau": tau},
+            batch_format="pyarrow",
+            batch_size=8192,
+            concurrency=concurrency,
+        )
+
     sig = signatures.select_columns(["doc_id", "shingles"])
     a = pairs.join(
         sig,
