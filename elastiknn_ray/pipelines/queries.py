@@ -224,6 +224,40 @@ def q_simhash_clusters(sf_dir: str):
     return res.clusters
 
 
+def q_substring_spans(sf_dir: str):
+    """Suffix-array + winnowing substring-duplicate spans (M7; rows-only
+    driver check — pytest oracles in tests/test_substring.py)."""
+    from elastiknn_ray.stages.substring import SubstringConfig, substring_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring_spans(docs, SubstringConfig(num_partitions=8))
+
+
+def q_substring_dedup_docs(sf_dir: str):
+    """Documents with duplicate substrings removed → (doc_id, n_chars_clean)
+    integer summary (rows-only driver check)."""
+    from elastiknn_ray.stages.substring import (
+        SubstringConfig,
+        remove_spans,
+        substring_spans,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    spans = substring_spans(docs, SubstringConfig(num_partitions=8))
+    clean = remove_spans(docs, spans, num_partitions=8)
+    return clean.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars_clean": pa.compute.utf8_length(t.column("text")).cast(
+                    pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------- embeddings
 
 EMB_COS_TAU = 0.9
@@ -366,6 +400,8 @@ QUERIES = {
     "lsh_clusters": q_lsh_clusters,
     "simhash_pairs": q_simhash_pairs,
     "simhash_clusters": q_simhash_clusters,
+    "substring_spans": q_substring_spans,
+    "substring_dedup_docs": q_substring_dedup_docs,
     "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
     "emb_cosine_lsh_pairs": q_emb_cosine_lsh_pairs,
     "knn_exact_cosine": q_knn_exact_cosine,

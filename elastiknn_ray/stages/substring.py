@@ -1,0 +1,292 @@
+"""Suffix-array substring-dedup stage (SURVEY.md §2.5 N5, §7 M7).
+
+Composite two-path design, each path's partitioning assumption explicit:
+
+- **intra-partition exact path**: docs are hash-partitioned on
+  ``doc_id % P``; a per-partition kernel concatenates the partition's texts
+  (0xFF + doc-index separators — 0xFF never occurs in UTF-8, and the index
+  bytes break any accidental run across the separator), builds a suffix
+  array, and emits every duplicated span >= min_len *within the partition*
+  (models/suffix_array.py).  Finds all matches between co-partitioned docs
+  at exact span extents.
+
+- **cross-partition window path**: winnowing fingerprints (text/winnow.py)
+  of every doc are shuffled on fingerprint; any exact common run of
+  >= w + g - 1 bytes between ANY two docs shares a selected fingerprint
+  regardless of partitioning.  Colliding windows are verified by raw byte
+  equality (the window travels with its fingerprint) and every occurrence
+  except the first (min doc_id, then min pos) becomes a w-byte span;
+  overlapping/adjacent window spans merge downstream.  Resolution is window-
+  granular rather than maximal-extent — the intra-partition path provides
+  exact extents for co-located matches; the window path guarantees no
+  cross-partition duplicate >= w + g - 1 bytes escapes.
+
+Keep-first rule everywhere: smallest (doc_id, pos) occurrence survives —
+the engine's min-id determinism contract (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from elastiknn_ray.models.suffix_array import duplicate_spans, merge_spans
+from elastiknn_ray.text.winnow import winnow_fingerprints
+
+
+@dataclass(frozen=True)
+class SubstringConfig:
+    min_len: int = 200  # bytes; Lee et al. 2022 use 50 BPE tokens ~ 200 bytes
+    window: int = 64  # w: fingerprint window bytes
+    guard: int = 32  # g: winnowing guard window (guarantee = w + g - 1)
+    num_partitions: int = 32
+
+
+# ---------------------------------------------------------------- intra path
+
+def _intra_partition_kernel(t: pa.Table, min_len: int) -> pa.Table:
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = [x.encode("utf-8") if x is not None else b"" for x in t.column("text").to_pylist()]
+    # deterministic concat order (partition row order varies with execution)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    texts = [texts[i] for i in order]
+    sep_parts, bounds = [], [0]
+    for i, b in enumerate(texts):
+        sep_parts.append(b)
+        sep_parts.append(bytes([0xFF]) + int(i).to_bytes(8, "little"))
+        bounds.append(bounds[-1] + len(b) + 9)
+    blob = np.frombuffer(b"".join(sep_parts), dtype=np.uint8)
+    starts, lens = duplicate_spans(blob, min_len)
+    if len(starts) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "start": pa.array([], pa.int64()),
+                "end": pa.array([], pa.int64()),
+            }
+        )
+    doc_starts = np.array(bounds[:-1], dtype=np.int64)
+    doc_text_ends = doc_starts + np.array([len(b) for b in texts], dtype=np.int64)
+    ix = np.searchsorted(doc_starts, starts, side="right") - 1
+    local_start = starts - doc_starts[ix]
+    local_end = np.minimum(starts + lens, doc_text_ends[ix]) - doc_starts[ix]
+    keep = (local_end - local_start) >= min_len  # clip can shrink below min
+    # a span starting inside a separator region is clipped away entirely
+    keep &= local_start < (doc_text_ends[ix] - doc_starts[ix])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[ix[keep]], pa.int64()),
+            "start": pa.array(local_start[keep], pa.int64()),
+            "end": pa.array(local_end[keep], pa.int64()),
+        }
+    )
+
+
+def intra_partition_spans(docs, min_len: int, num_partitions: int = 32):
+    """docs(doc_id, text) → (doc_id, start, end) duplicate spans found by a
+    per-partition suffix array.  Partitioning assumption: detects matches
+    only between docs in the same ``doc_id % num_partitions`` cell (the
+    window path covers the rest)."""
+    keyed = docs.map_batches(
+        lambda t, p=num_partitions: t.append_column(
+            "part",
+            pa.array(
+                t.column("doc_id").to_numpy(zero_copy_only=False) % p, pa.int64()
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("part").map_groups(
+        lambda t, m=min_len: _intra_partition_kernel(t.drop_columns(["part"]), m),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------- cross path
+
+def _fingerprint_batch(t: pa.Table, w: int, g: int) -> pa.Table:
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = [x.encode("utf-8") if x is not None else b"" for x in t.column("text").to_pylist()]
+    row_ix, pos, fp = winnow_fingerprints(texts, w, g)
+    wins = [texts[r][p : p + w] for r, p in zip(row_ix, pos)]
+    return pa.table(
+        {
+            "fp": pa.array(fp, pa.uint64()),
+            "doc_id": pa.array(ids[row_ix], pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "win": pa.array(wins, pa.large_binary()),
+        }
+    )
+
+
+def _window_dups_kernel(t: pa.Table, w: int) -> pa.Table:
+    """Within one fingerprint partition: group by (fp, window bytes); every
+    occurrence except the (min doc_id, min pos) first emits a w-byte span."""
+    fp = t.column("fp").to_numpy(zero_copy_only=False)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    pos = t.column("pos").to_numpy(zero_copy_only=False)
+    wins = t.column("win").to_pylist()
+    import pandas as pd
+
+    codes, _ = pd.factorize(
+        pd.Series([(int(f), win) for f, win in zip(fp, wins)]), sort=False
+    )
+    order = np.lexsort((pos, ids, codes))
+    c = codes[order]
+    first = np.r_[True, c[1:] != c[:-1]]
+    # non-first members of multi-member groups, excluding repeats of the
+    # keeper doc itself at other positions?  No: every later occurrence of
+    # the same window content is a duplicate span, including within one doc.
+    dup = ~first
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order][dup], pa.int64()),
+            "start": pa.array(pos[order][dup], pa.int64()),
+            "end": pa.array(pos[order][dup] + w, pa.int64()),
+        }
+    )
+
+
+def cross_partition_window_spans(docs, cfg: SubstringConfig):
+    """docs → (doc_id, start, end) w-byte duplicate-window spans, alignment-
+    robust across any partitioning (winnowing guarantee >= w + g - 1)."""
+    fps = docs.map_batches(
+        lambda t, w=cfg.window, g=cfg.guard: _fingerprint_batch(t, w, g),
+        batch_format="pyarrow",
+    )
+    keyed = fps.map_batches(
+        lambda t, p=cfg.num_partitions: t.append_column(
+            "part",
+            pa.array(
+                t.column("fp").to_numpy(zero_copy_only=False) % np.uint64(p),
+                pa.uint64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("part").map_groups(
+        lambda t, w=cfg.window: _window_dups_kernel(t.drop_columns(["part"]), w),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------- combined
+
+def _merge_per_doc(t: pa.Table) -> pa.Table:
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    s = t.column("start").to_numpy(zero_copy_only=False)
+    e = t.column("end").to_numpy(zero_copy_only=False)
+    order = np.lexsort((s, ids))
+    ids, s, e = ids[order], s[order], e[order]
+    out_i, out_s, out_e = [], [], []
+    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    ends = np.r_[starts[1:], len(ids)]
+    for a, b in zip(starts, ends):
+        ms, me = merge_spans(s[a:b], e[a:b])
+        out_i.append(np.full(len(ms), ids[a], dtype=np.int64))
+        out_s.append(ms)
+        out_e.append(me)
+    if not out_i:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "start": pa.array([], pa.int64()),
+                "end": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_i), pa.int64()),
+            "start": pa.array(np.concatenate(out_s), pa.int64()),
+            "end": pa.array(np.concatenate(out_e), pa.int64()),
+        }
+    )
+
+
+def substring_spans(docs, cfg: SubstringConfig | None = None):
+    """Union of both paths, merged per doc → (doc_id, start, end)."""
+    cfg = cfg or SubstringConfig()
+    intra = intra_partition_spans(docs, cfg.min_len, cfg.num_partitions)
+    cross = cross_partition_window_spans(docs, cfg)
+    both = intra.union(cross)
+    keyed = both.map_batches(
+        lambda t, p=cfg.num_partitions: t.append_column(
+            "part",
+            pa.array(
+                t.column("doc_id").to_numpy(zero_copy_only=False) % p, pa.int64()
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("part").map_groups(
+        lambda t: _merge_per_doc(t.drop_columns(["part"])), batch_format="pyarrow"
+    )
+
+
+def remove_spans(docs, spans, *, num_partitions: int = 8):
+    """docs(doc_id, text) ⋈ spans → (doc_id, text) with duplicate byte ranges
+    cut out (docs without spans pass through unchanged)."""
+    agg = spans.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "span": pa.array(
+                    [
+                        f"{s}:{e}"
+                        for s, e in zip(
+                            t.column("start").to_pylist(), t.column("end").to_pylist()
+                        )
+                    ],
+                    pa.string(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import AggregateFn
+
+    # concatenate span tokens per doc (order-insensitive; cut positions sort)
+    import ray.data as rd
+
+    spans_per_doc = agg.groupby("doc_id").aggregate(
+        AggregateFn(
+            init=lambda k: "",
+            accumulate_row=lambda a, r: (a + "," + r["span"]) if a else r["span"],
+            merge=lambda a, b: (a + "," + b) if a and b else (a or b),
+            name="spanlist",
+        )
+    )
+    joined = docs.join(
+        spans_per_doc,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+    def cut(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        lists = t.column("spanlist").to_pylist()
+        out = []
+        for txt, sl in zip(texts, lists):
+            if not sl:
+                out.append(txt)
+                continue
+            b = (txt or "").encode("utf-8")
+            ivals = sorted(
+                tuple(map(int, tok.split(":"))) for tok in sl.split(",")
+            )
+            parts, cur = [], 0
+            for s, e in ivals:
+                if s > cur:
+                    parts.append(b[cur:s])
+                cur = max(cur, e)
+            parts.append(b[cur:])
+            out.append(b"".join(parts).decode("utf-8", errors="ignore"))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())}
+        )
+
+    return joined.map_batches(cut, batch_format="pyarrow")

@@ -1,0 +1,97 @@
+"""Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003) for
+cross-partition substring-duplicate discovery.
+
+Every position of a text gets a Rabin-Karp hash of its W-byte window; each
+G-window of consecutive hashes selects its (leftmost) minimum — the classic
+winnowing guarantee: any exact common run of >= W + G - 1 bytes between two
+texts shares at least one SELECTED fingerprint, regardless of alignment.
+
+The rolling hash is computed without a sequential loop: with an odd base B,
+powers and inverse-power prefix sums are vectorized in wrap-around uint64
+arithmetic (B is invertible mod 2^64), so
+``hash(i) = pow(B, i+W-1) * (C[i+W] - C[i])`` for the cumulative
+``C[i] = sum_{j<i} s[j] * B^-j``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_B = _U64(0x9E3779B97F4A7C16 | 1)  # odd => invertible mod 2^64
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x + _U64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return x ^ (x >> _U64(31))
+
+
+def _modinv_pow2(b: int) -> int:
+    """Inverse of odd b mod 2^64 (Newton iteration)."""
+    x = b  # 3 bits correct
+    for _ in range(5):
+        x = (x * (2 - b * x)) & 0xFFFFFFFFFFFFFFFF
+    return x
+
+
+_B_INV = _U64(_modinv_pow2(int(_B)))
+
+
+def rolling_hashes(s: np.ndarray, w: int) -> np.ndarray:
+    """uint64 Rabin-Karp hash of every w-byte window of uint8 array s
+    (len(s) - w + 1 hashes), diffused with splitmix64."""
+    n = len(s)
+    if n < w:
+        return np.empty(0, dtype=np.uint64)
+    nwin = n - w + 1
+    pows = np.empty(n, dtype=np.uint64)
+    pows[0] = 1
+    np.multiply.accumulate(np.full(n, _B, dtype=np.uint64), out=pows)
+    pows = np.roll(pows, 1)
+    pows[0] = 1  # pows[j] = B^j mod 2^64
+    inv = np.empty(n + 1, dtype=np.uint64)
+    inv[0] = 1
+    np.multiply.accumulate(np.full(n + 1, _B_INV, dtype=np.uint64), out=inv)
+    inv = np.roll(inv, 1)
+    inv[0] = 1  # inv[j] = B^-j
+    c = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(s.astype(np.uint64) * inv[:n], out=c[1:])
+    h = (c[w : n + 1] - c[:nwin]) * pows[w - 1 : n]
+    return _splitmix64(h)
+
+
+def winnow_select(h: np.ndarray, g: int) -> np.ndarray:
+    """Selected positions (ascending, unique) — the leftmost argmin of every
+    g-window of hashes.  len(h) < g selects the single global argmin."""
+    if len(h) == 0:
+        return np.empty(0, dtype=np.int64)
+    if len(h) <= g:
+        return np.array([int(np.argmin(h))], dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(h, g)
+    am = win.argmin(axis=1) + np.arange(len(h) - g + 1)
+    return np.unique(am).astype(np.int64)
+
+
+def winnow_fingerprints(
+    texts: list[bytes], w: int, g: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per text: winnowed fingerprints.  Returns (row_ix, pos, fp) flat
+    arrays — row_ix indexes into ``texts``."""
+    rows, poss, fps = [], [], []
+    for i, t in enumerate(texts):
+        s = np.frombuffer(t, dtype=np.uint8)
+        h = rolling_hashes(s, w)
+        sel = winnow_select(h, g)
+        if len(sel):
+            rows.append(np.full(len(sel), i, dtype=np.int64))
+            poss.append(sel)
+            fps.append(h[sel])
+    if not rows:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.uint64),
+        )
+    return np.concatenate(rows), np.concatenate(poss), np.concatenate(fps)

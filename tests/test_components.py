@@ -80,3 +80,28 @@ def test_connected_components_chain(ray_session):
     labels = connected_components(edges).to_pandas()
     assert set(labels["cluster_id"]) == {0}
     assert len(labels) == n
+
+
+def test_connected_components_distributed_path(ray_session, monkeypatch):
+    """Force the star-contraction fixpoint (edge gate = 0) and check it agrees
+    with the driver-side union-find on a random graph."""
+    import ray.data as rd
+    import numpy as np
+    import pyarrow as pa
+    import elastiknn_ray.stages.components as cc
+
+    rng = np.random.default_rng(5)
+    u = rng.integers(0, 60, 80)
+    v = rng.integers(0, 60, 80)
+    keep = u != v
+    edges = pa.table({"u": pa.array(u[keep], pa.int64()), "v": pa.array(v[keep], pa.int64())})
+
+    fast = cc.connected_components(rd.from_arrow(edges)).to_pandas()
+    monkeypatch.setattr(cc, "SMALL_EDGE_LIMIT", 0)
+    dist = cc.connected_components(rd.from_arrow(edges)).to_pandas()
+
+    fast = fast.sort_values("doc_id").reset_index(drop=True)
+    dist = dist.sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(fast, dist)

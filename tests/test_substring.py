@@ -1,0 +1,128 @@
+"""Suffix-array substring-dedup tests (M7): kernel oracles + end-to-end
+detection of the synthetic corpus's injected >=200-char substrings."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from elastiknn_ray.models.suffix_array import (
+    adjacent_lcp,
+    duplicate_spans,
+    merge_spans,
+    suffix_array,
+)
+
+
+def test_suffix_array_matches_sorted_suffixes():
+    rng = np.random.default_rng(0)
+    for n in (1, 2, 17, 200):
+        s = rng.integers(97, 103, n).astype(np.uint8)  # small alphabet
+        sa = suffix_array(s)
+        b = bytes(s)
+        expected = sorted(range(n), key=lambda i: b[i:])
+        assert sa.tolist() == expected, n
+
+
+def test_adjacent_lcp_bruteforce():
+    rng = np.random.default_rng(1)
+    s = rng.integers(97, 100, 300).astype(np.uint8)
+    sa = suffix_array(s)
+    lcp = adjacent_lcp(s, sa, max_lcp=1000)
+    b = bytes(s)
+    for i in range(len(s) - 1):
+        x, y = b[sa[i] :], b[sa[i + 1] :]
+        expect = len(__import__("os").path.commonprefix([x, y]))
+        assert lcp[i] == expect, i
+
+
+def test_duplicate_spans_finds_planted_repeat():
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 250, 500).astype(np.uint8)
+    repeat = rng.integers(0, 250, 120).astype(np.uint8)
+    s = np.concatenate([a[:200], repeat, a[200:], repeat, a[:50]])
+    starts, lens = duplicate_spans(s, min_len=100)
+    # the second occurrence (position 200+120+300=620) must be covered
+    second = 200 + 120 + 300
+    covered = any(
+        st <= second and st + ln >= second + 100 for st, ln in zip(starts, lens)
+    )
+    assert covered
+    # the first occurrence (min position) must NOT be reported
+    assert not any(st in range(200, 200 + 21) for st in starts)
+
+
+def test_merge_spans():
+    s = np.array([10, 0, 5, 40], dtype=np.int64)
+    e = np.array([20, 6, 12, 50], dtype=np.int64)
+    ms, me = merge_spans(s, e)
+    assert ms.tolist() == [0, 40]
+    assert me.tolist() == [20, 50]
+
+
+def _docs_ds(n, seed):
+    import ray.data as rd
+
+    from elastiknn_ray.sources.synth import pages_table
+    from elastiknn_ray.stages.hashing import prepare_batch
+
+    t = pages_table(n, seed)
+    return rd.from_arrow(t).map_batches(prepare_batch, batch_format="pyarrow")
+
+
+def test_substring_pipeline_detects_injected(ray_session):
+    """Every synthetic 'substr' doc carries a >=200-char donor substring; the
+    combined (intra-SA + winnow) span stage must flag each such doc."""
+    from elastiknn_ray.sources.synth import role_of, url_of
+    from elastiknn_ray.stages.hashing import doc_id_of_url
+    from elastiknn_ray.stages.substring import SubstringConfig, substring_spans
+
+    n, seed = 400, 7
+    docs = _docs_ds(n, seed)
+    spans = substring_spans(docs, SubstringConfig(num_partitions=8)).to_pandas()
+    flagged = set(spans["doc_id"])
+
+    from elastiknn_ray.sources.synth import base_target
+
+    n_hosts = max(4, n // 50)
+    substr_rows = [i for i in range(n) if role_of(i, seed) == "substr"]
+    assert substr_rows
+    missed = []
+    for i in substr_rows:
+        # keep-first is by doc_id = url hash, so EITHER side of the injected
+        # pair may be the kept (unflagged) occurrence — the duplicate content
+        # must be flagged on at least one side
+        did = doc_id_of_url(url_of(i, seed, n_hosts))
+        donor = doc_id_of_url(url_of(base_target(i, seed), seed, n_hosts))
+        if did not in flagged and donor not in flagged:
+            missed.append(i)
+    assert not missed, missed
+    # clones are full duplicates -> also flagged with long spans
+    assert (spans["end"] - spans["start"]).min() >= SubstringConfig().window
+
+
+def test_remove_spans_cuts_content(ray_session):
+    import ray.data as rd
+
+    from elastiknn_ray.stages.substring import remove_spans
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["abcdefghij", "hello"], pa.string()),
+            }
+        )
+    )
+    spans = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 1], pa.int64()),
+                "start": pa.array([2, 5], pa.int64()),
+                "end": pa.array([4, 7], pa.int64()),
+            }
+        )
+    )
+    out = remove_spans(docs, spans, num_partitions=2).to_pandas()
+    out = out.set_index("doc_id")["text"]
+    assert out[1] == "abehij"
+    assert out[2] == "hello"
