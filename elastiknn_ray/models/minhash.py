@@ -27,8 +27,13 @@ from elastiknn_ray.models.params import MinHashParams
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
-#: Hash-function chunk size bounding the (chunk × n_shingles) uint64 temp.
+#: Hash-function chunk size bounding the (chunk × tile) uint64 temp.
 _FN_CHUNK = 16
+
+#: Shingle-tile size: the (FN_CHUNK × TILE) uint64 scratch is ~1 MiB — small
+#: enough to stay cache-resident, so the h = (v*a+b) % P passes don't stream
+#: through main memory (which is the bottleneck with many concurrent tasks).
+_TILE = 8192
 
 
 class _Workspace:
@@ -71,19 +76,36 @@ def minhash_matrix(
     vplus = (values % HASH_PRIME).astype(np.uint64)
     vplus += np.uint64(1)
     prime = np.uint64(HASH_PRIME)
-    # reduceat rejects a start index == len(values) (trailing empty docs);
-    # clamp — empty-doc rows are garbage here and masked by band_hashes().
-    starts = np.minimum(offsets[:-1], m - 1)
-    for lo in range(0, nf, _FN_CHUNK):
-        hi = min(lo + _FN_CHUNK, nf)
-        c = hi - lo
-        a = params.A[lo:hi, None]  # (C,1)
-        b = params.B[lo:hi, None]
-        h = ws.get(c, m)  # (C, M) scratch, reused across chunks/batches
-        np.multiply(vplus[None, :], a, out=h)
-        np.add(h, b, out=h)
-        np.remainder(h, prime, out=h)
-        out[:, lo:hi] = np.minimum.reduceat(h, starts, axis=1).T
+
+    # doc tiles: greedy groups of whole docs with ~_TILE shingles each, so
+    # every reduceat stays inside its tile (no cross-tile min combining)
+    tile_doc_bounds = [0]
+    while tile_doc_bounds[-1] < n:
+        d = tile_doc_bounds[-1]
+        target = offsets[d] + _TILE
+        nxt = int(np.searchsorted(offsets, target, side="left"))
+        nxt = max(nxt, d + 1)
+        tile_doc_bounds.append(min(nxt, n))
+
+    for d0, d1 in zip(tile_doc_bounds[:-1], tile_doc_bounds[1:]):
+        v0, v1 = int(offsets[d0]), int(offsets[d1])
+        tm = v1 - v0
+        if tm == 0:
+            continue  # all-empty docs; rows masked by band_hashes()
+        vt = vplus[v0:v1]
+        # reduceat rejects start == len; clamp (empty docs in the tile read
+        # garbage, masked by band_hashes())
+        starts = np.minimum(offsets[d0:d1] - v0, tm - 1)
+        for lo in range(0, nf, _FN_CHUNK):
+            hi = min(lo + _FN_CHUNK, nf)
+            c = hi - lo
+            a = params.A[lo:hi, None]  # (C,1)
+            b = params.B[lo:hi, None]
+            h = ws.get(c, tm)  # cache-resident scratch, reused everywhere
+            np.multiply(vt[None, :], a, out=h)
+            np.add(h, b, out=h)
+            np.remainder(h, prime, out=h)
+            out[d0:d1, lo:hi] = np.minimum.reduceat(h, starts, axis=1).T
     return out
 
 

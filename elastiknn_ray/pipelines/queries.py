@@ -224,6 +224,83 @@ def q_simhash_clusters(sf_dir: str):
     return res.clusters
 
 
+def q_invalid_docs(sf_dir: str):
+    """Validation / dead-letter filter (SURVEY.md §2.2 I1): rows rejected by
+    the schema validator — empty text or unknown lang — emitted as a reject
+    table instead of throwing per-row (VectorMapper.scala:28-29 semantics)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bad = pc.or_(
+            pc.equal(batch.column("text"), pa.scalar("")),
+            pc.invert(
+                pc.is_in(
+                    batch.column("lang"),
+                    value_set=pa.array(["en", "de", "fr"], pa.string()),
+                )
+            ),
+        )
+        return batch.filter(bad).select(["doc_id"])
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def q_quality_counts(sf_dir: str):
+    """Integer surface statistics per doc (text/analysis.py quality_counts) —
+    every count mirrored exactly in the DuckDB oracle."""
+    from elastiknn_ray.text.analysis import quality_counts
+
+    def f(batch: pa.Table) -> pa.Table:
+        counts = quality_counts(batch.column("text").to_pylist())
+        cols = {"doc_id": batch.column("doc_id")}
+        cols.update({k: pa.array(v, pa.int64()) for k, v in counts.items()})
+        return pa.table(cols)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def q_lang_id(sf_dir: str):
+    """Stopword-profile language ID (rows-only; profile arithmetic is not
+    SQL-expressible — behavior pinned in tests/test_analysis.py)."""
+    from elastiknn_ray.text.analysis import language_id
+
+    def f(batch: pa.Table) -> pa.Table:
+        langs, _ = language_id(batch.column("text").to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(langs, pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def q_doc_fingerprints(sf_dir: str):
+    """Min-rolling-hash document fingerprint (rows-only; deterministic)."""
+    from elastiknn_ray.text.analysis import doc_fingerprints
+
+    def f(batch: pa.Table) -> pa.Table:
+        fp = doc_fingerprints(batch.column("text").to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint": pa.array(fp.view(np.int64), pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def q_substring_spans(sf_dir: str):
     """Suffix-array + winnowing substring-duplicate spans (M7; rows-only
     driver check — pytest oracles in tests/test_substring.py)."""
@@ -260,12 +337,12 @@ def q_substring_dedup_docs(sf_dir: str):
 
 # ---------------------------------------------------------------- embeddings
 
-EMB_COS_TAU = 0.9
+EMB_COS_TAU = 0.35  # sf tables: max pairwise cos ~0.48; 0.35 yields a few hundred pairs
 
 
 def q_emb_cosine_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup (training-data op): all pairs with
-    cos >= 0.9, brute-force broadcast path; integer-only output."""
+    cos >= 0.35, brute-force broadcast path; integer-only output."""
     from elastiknn_ray.stages.cosine_lsh import cosine_dup_pairs_exact
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -284,7 +361,7 @@ def q_emb_cosine_lsh_pairs(sf_dir: str):
     dims = len(emb.take(1)[0]["embedding"])
     bands = emb.map_batches(
         CosineLshBandStage,
-        fn_constructor_kwargs={"lsh": CosineLshConfig(dims=dims, L=32, k=8, seed=0)},
+        fn_constructor_kwargs={"lsh": CosineLshConfig(dims=dims, L=64, k=6, seed=0)},
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=(1, 8),
@@ -307,6 +384,114 @@ def q_knn_exact_cosine(sf_dir: str):
         emb, {"ids": q["vec_id"].to_numpy(), "matrix": qm}, k=5
     )
     return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
+def q_knn_filtered_cosine(sf_dir: str):
+    """Filter + kNN composition (SURVEY.md §2.3 Q8: elastiknn inside a bool
+    filter query): brute-force cosine kNN restricted to corpus label = 0."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    q = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
+    qm = np.array(q["embedding"].tolist(), dtype=np.float64)
+    corpus = emb.filter(expr="label == 0").select_columns(["vec_id", "embedding"])
+    out = knn_exact(corpus, {"ids": q["vec_id"].to_numpy(), "matrix": qm}, k=5)
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
+def q_knn_lsh_cosine(sf_dir: str):
+    """Approximate cosine kNN via the reference's full read path (countHits →
+    kthGreatest cut → exact re-score; stages/knn.py knn_lsh_cosine).
+    Rows-only driver check; recall vs the exact path pinned in
+    tests/test_knn.py."""
+    from elastiknn_ray.stages.knn import knn_lsh_cosine
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    q = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
+    qm = np.array(q["embedding"].tolist(), dtype=np.float64)
+    out = knn_lsh_cosine(
+        emb,
+        {"ids": q["vec_id"].to_numpy(), "matrix": qm},
+        k=5,
+        candidates=100,
+    )
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
+def q_emb_l2_lsh_pairs(sf_dir: str):
+    """L2-LSH candidate pairs + exact cosine verify over embeddings (H4
+    no-probe path; rows-only driver check)."""
+    from elastiknn_ray.config import L2LshConfig
+    from elastiknn_ray.stages.cosine_lsh import verify_cosine_pairs
+    from elastiknn_ray.stages.float_lsh import L2LshBandStage
+    from elastiknn_ray.stages.pairs import candidate_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    dims = len(emb.take(1)[0]["embedding"])
+    bands = emb.map_batches(
+        L2LshBandStage,
+        fn_constructor_kwargs={"lsh": L2LshConfig(dims=dims, L=16, k=2, w=4, seed=0)},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
+    cands = candidate_pairs(bands, cap=256)
+    return verify_cosine_pairs(cands, emb, EMB_COS_TAU, num_partitions=4).select_columns(
+        ["vec_a", "vec_b"]
+    )
+
+
+def q_perm_hashes(sf_dir: str):
+    """Permutation-LSH hashes per embedding (H5; (doc_id, hash, freq) exploded
+    rows) with an exact DuckDB list-function oracle."""
+    from elastiknn_ray.config import PermutationLshConfig
+    from elastiknn_ray.stages.float_lsh import PermutationLshStage
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = emb.map_batches(
+        PermutationLshStage(PermutationLshConfig(k=8, repeating=True)),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+    return out.rename_columns({"doc_id": "vec_id"})
+
+
+# ---------------------------------------------------------------- multimodal
+
+def q_image_features(sf_dir: str):
+    """Image decode → thumbnail + patch-feature embedding over a
+    deterministic synthetic FAKE-codec image table (no image libs in this
+    container; the Ray plumbing is real — stages/multimodal.py).  Rows-only
+    driver check; ``sf_dir`` is unused (self-generated input)."""
+    import ray.data as rd
+
+    from elastiknn_ray.stages.multimodal import ImageDecodeStage, fake_images_table
+
+    ds = rd.from_arrow(fake_images_table(256, seed=11))
+    out = ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"thumb": 16, "grid": 4},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["image_id", "height", "width", "channels"])
+
+
+def q_audio_chunks(sf_dir: str):
+    """Audio chunking + RMS energy over a synthetic FAKE-codec audio table
+    (rows-only driver check; ``sf_dir`` unused)."""
+    import ray.data as rd
+
+    from elastiknn_ray.stages.multimodal import AudioChunkStage, fake_audio_table
+
+    ds = rd.from_arrow(fake_audio_table(64, seed=12, rate=4000))
+    out = ds.map_batches(
+        AudioChunkStage,
+        fn_constructor_kwargs={"chunk_s": 0.5},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["audio_id", "chunk_ix"])
 
 
 # ---------------------------------------------------------------- events
@@ -402,9 +587,19 @@ QUERIES = {
     "simhash_clusters": q_simhash_clusters,
     "substring_spans": q_substring_spans,
     "substring_dedup_docs": q_substring_dedup_docs,
+    "invalid_docs": q_invalid_docs,
+    "quality_counts": q_quality_counts,
+    "lang_id": q_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
     "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
     "emb_cosine_lsh_pairs": q_emb_cosine_lsh_pairs,
     "knn_exact_cosine": q_knn_exact_cosine,
+    "knn_filtered_cosine": q_knn_filtered_cosine,
+    "knn_lsh_cosine": q_knn_lsh_cosine,
+    "emb_l2_lsh_pairs": q_emb_l2_lsh_pairs,
+    "perm_hashes": q_perm_hashes,
+    "image_features": q_image_features,
+    "audio_chunks": q_audio_chunks,
     "events_first_by_user_type": q_events_first_by_user_type,
     "events_agg": q_events_agg,
     "lineitem_agg": q_lineitem_agg,
@@ -464,10 +659,51 @@ ORACLE_SQL = {
           SELECT r.x, bi.b FROM reach r JOIN bi ON r.y = bi.a
         )
         SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id FROM reach GROUP BY x""",
+    "invalid_docs": """
+        SELECT doc_id FROM documents
+        WHERE text = '' OR lang NOT IN ('en', 'de', 'fr')""",
+    "knn_filtered_cosine": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                   WHERE vec_id < 10),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, c.embedding) AS score
+              FROM q, embeddings c
+              WHERE c.label = 0 AND c.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS rank
+              FROM s)
+        SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""",
+    "quality_counts": f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length({_TOKS}) AS n_tokens,
+               length(list_distinct({_TOKS})) AS n_unique_tokens,
+               length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS n_alpha_chars,
+               length(regexp_replace(text, '[^\\p{{Nd}}]', '', 'g')) AS n_digit_chars,
+               length(regexp_replace(text, '[^\\]\\[\\\\.,;:!?''"(){{}}–—…/-]', '', 'g'))
+                   AS n_punct_chars,
+               COALESCE(list_max(list_transform({_TOKS}, x -> length(x))), 0)
+                   AS max_token_len
+        FROM documents""",
+    "perm_hashes": """
+        WITH u AS (SELECT vec_id, unnest(embedding) AS v,
+                          generate_subscripts(embedding, 1) AS ix
+                   FROM embeddings),
+        r AS (SELECT vec_id, v, ix,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY abs(v) DESC, ix) AS rn,
+                     rank() OVER (PARTITION BY vec_id
+                                  ORDER BY abs(v) DESC) AS rk
+              FROM u)
+        SELECT vec_id,
+               CASE WHEN v >= 0 THEN ix ELSE -ix END::BIGINT AS hash,
+               CAST(8 - (rk - 1) AS BIGINT) AS freq
+        FROM r WHERE rn <= 8""",
     "emb_cosine_dup_pairs": """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9""",
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
     "knn_exact_cosine": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
                    WHERE vec_id < 10),

@@ -1,0 +1,118 @@
+"""L2 (stable-distribution) and Permutation LSH band stages over embedding
+columns — the engine's L2LshModel (no-probe path, L2LshModel.java:70-82) and
+PermutationLshModel (PermutationLshModel.java:19-52).
+
+Multiprobe (L2LshModel.java:84-134) is query-side only in the reference; for
+symmetric all-pairs dedup it is unnecessary (SURVEY.md §2.1 H4) and is left
+to the query path as optional hash expansion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from elastiknn_ray.config import L2LshConfig, PermutationLshConfig
+from elastiknn_ray.models.params import derive_l2
+from elastiknn_ray.stages.knn import _to_matrix
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def l2_band_hashes(m: np.ndarray, a: np.ndarray, b: np.ndarray, w: float, L: int, k: int) -> np.ndarray:
+    """(N, dims) → (N, L) uint64 band hashes: floor((a·v + b) / w) per hash
+    fn (L2LshModel.java:75-80), k per table FNV-mixed with the table index."""
+    proj = np.floor((m @ a.T + b[None, :]) / w).astype(np.int64)  # (N, L*k)
+    vals = proj.view(np.uint64).reshape(len(m), L, k)
+    h = np.full((len(m), L), _FNV_OFFSET, dtype=np.uint64)
+    table_ix = np.arange(L, dtype=np.uint64)[None, :]
+    h = (h ^ table_ix) * _FNV_PRIME
+    for j in range(k):
+        h = (h ^ vals[:, :, j]) * _FNV_PRIME
+        h = (h ^ (vals[:, :, j] >> np.uint64(32))) * _FNV_PRIME
+    return h
+
+
+class L2LshBandStage:
+    """(vec_id, embedding) → exploded (doc_id, band_hash) rows; projections
+    re-derived from (config, seed) per actor (ModelCache semantics)."""
+
+    def __init__(self, lsh: L2LshConfig):
+        p = derive_l2(lsh)
+        self.a = p.A.astype(np.float64)
+        self.b = p.B.astype(np.float64)
+        self.w = float(lsh.w)
+        self.L = lsh.L
+        self.k = lsh.k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column("embedding"))
+        bh = l2_band_hashes(m, self.a, self.b, self.w, self.L, self.k)
+        ids = batch.column("vec_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, self.L), pa.int64()),
+                "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+            }
+        )
+
+
+def permutation_hashes(m: np.ndarray, k: int, repeating: bool) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Top-k |value| index encoding (PermutationLshModel.java:25-52): per row
+    emit the k largest-|value| indices encoded +(ix+1) for values >= 0 and
+    -(1+ix) otherwise; with ``repeating``, freq = k - rankComplement where
+    tied |values| share the rank of their group's first member (the
+    reference's "two-way tie for 2nd place -> no 3rd" rule).
+
+    Tie ORDER among equal |values| is index-ascending here (deterministic);
+    the reference's heap emits ties in unspecified-but-deterministic heap
+    order — hash/freq multisets agree except when a tie group straddles the
+    k cutoff.
+
+    Returns flat (row_ix, hash, freq) arrays (one row per emitted hash).
+    """
+    n, dims = m.shape
+    kk = min(k, dims)
+    a = np.abs(m)
+    part = np.argpartition(-a, kk - 1, axis=1)[:, :kk]  # (N, kk)
+    vals = np.take_along_axis(m, part, axis=1)
+    # rank order: |value| desc, index asc (stable sort on index-ordered cols)
+    part_sorted = np.sort(part, axis=1)
+    vals_sorted = np.take_along_axis(m, part_sorted, axis=1)
+    order = np.argsort(-np.abs(vals_sorted), axis=1, kind="stable")
+    top = np.take_along_axis(part_sorted, order, axis=1)
+    tv = np.take_along_axis(vals_sorted, order, axis=1)
+    enc = np.where(tv >= 0, top + 1, -(top + 1)).astype(np.int64)
+    if repeating:
+        ta = np.abs(tv)
+        idx = np.broadcast_to(np.arange(kk), (n, kk))
+        boundary = np.concatenate(
+            [np.ones((n, 1), dtype=bool), ta[:, 1:] != ta[:, :-1]], axis=1
+        )
+        first_occ = np.maximum.accumulate(np.where(boundary, idx, 0), axis=1)
+        freq = (k - first_occ).astype(np.int64)
+    else:
+        freq = np.ones((n, kk), np.int64)
+    row_ix = np.repeat(np.arange(n), kk)
+    return row_ix, enc.reshape(-1), freq.reshape(-1)
+
+
+class PermutationLshStage:
+    """(vec_id, embedding) → exploded (doc_id, hash, freq) rows."""
+
+    def __init__(self, cfg: PermutationLshConfig):
+        self.k = cfg.k
+        self.repeating = cfg.repeating
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column("embedding"))
+        ids = batch.column("vec_id").to_numpy()
+        row_ix, enc, freq = permutation_hashes(m, self.k, self.repeating)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[row_ix], pa.int64()),
+                "hash": pa.array(enc, pa.int64()),
+                "freq": pa.array(freq, pa.int64()),
+            }
+        )

@@ -93,3 +93,153 @@ def knn_exact(embeddings, query_ids_matrix: dict, k: int, *, concurrency=(1, 8))
         return g[["query_id", "rank", "neighbor_id", "score"]]
 
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def knn_lsh_cosine(
+    embeddings,
+    query_ids_matrix: dict,
+    k: int,
+    *,
+    candidates: int = 100,
+    lsh=None,
+    concurrency=(1, 8),
+):
+    """Approximate cosine kNN — the reference's full read path (SURVEY.md
+    §3.2): hash the query vectors once (ElastiknnQueryBuilder step 3), count
+    per-doc band collisions (Q1, MatchHashesAndScoreQuery.countHits), cut to
+    the top ``candidates`` per query by collision count (Q2, kthGreatest),
+    exact-re-score only those (Q3) and return the global top-k.
+
+    The corpus-side scan is one streaming map_batches: query band hashes are
+    tiny and broadcast inside the task closure; collision counting is a
+    searchsorted membership test.  The candidate cut is global-per-query
+    (the reference's per-segment budget becomes a per-query budget —
+    SURVEY.md §2.3 Q2 note).
+    """
+    from elastiknn_ray.config import CosineLshConfig
+    from elastiknn_ray.models.params import derive_hyperplanes
+
+    query_ids = np.asarray(query_ids_matrix["ids"], dtype=np.int64)
+    qm = np.asarray(query_ids_matrix["matrix"], dtype=np.float64)
+    lsh = lsh or CosineLshConfig(dims=qm.shape[1], L=32, k=8, seed=0)
+    from elastiknn_ray.stages.cosine_lsh import hyperplane_band_hashes
+
+    planes = derive_hyperplanes(lsh).planes.astype(np.float64)
+    qh = hyperplane_band_hashes(qm, planes, lsh.L, lsh.k)  # (Q, L)
+    # sorted flat query-hash table for vectorized membership tests
+    flat = qh.reshape(-1)
+    owner = np.repeat(np.arange(len(query_ids)), lsh.L)
+    order = np.argsort(flat, kind="stable")
+    flat_sorted, owner_sorted = flat[order], owner[order]
+
+    def count_hits(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column("embedding"))
+        ids = batch.column("vec_id").to_numpy()
+        bh = hyperplane_band_hashes(m, planes, lsh.L, lsh.k)  # (N, L)
+        b = bh.reshape(-1)
+        pos = np.searchsorted(flat_sorted, b)
+        pos = np.minimum(pos, len(flat_sorted) - 1)
+        hit = flat_sorted[pos] == b
+        # a hash can be shared by multiple queries; expand run of equal keys
+        rows = np.flatnonzero(hit)
+        out_q, out_d = [], []
+        for r in rows:
+            p = pos[r]
+            while p < len(flat_sorted) and flat_sorted[p] == b[r]:
+                out_q.append(owner_sorted[p])
+                out_d.append(ids[r // lsh.L])
+                p += 1
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    query_ids[np.array(out_q, dtype=np.int64)]
+                    if out_q
+                    else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "neighbor_id": pa.array(np.array(out_d, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    counts = (
+        embeddings.map_batches(count_hits, batch_format="pyarrow")
+        .groupby(["query_id", "neighbor_id"])
+        .aggregate(Count(alias_name="n_bands"))
+    )
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        # kthGreatest semantics: keep the `candidates` highest collision
+        # counts, ties broken by neighbor_id for determinism
+        return g.sort_values(
+            ["n_bands", "neighbor_id"], ascending=[False, True]
+        ).head(candidates)
+
+    cand = counts.groupby("query_id").map_groups(cut, batch_format="pandas")
+    cand = cand.materialize()
+
+    # exact re-score of candidates only (Q3): gather candidate embeddings
+    cand_ids = np.unique(
+        np.concatenate(
+            [
+                b.column("neighbor_id").to_numpy(zero_copy_only=False)
+                for b in cand.iter_batches(batch_format="pyarrow")
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    import ray
+    import ray.data as rd
+
+    ids_ref = ray.put(cand_ids)
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        d = t.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return t.filter(pa.array(np.zeros(len(d), dtype=bool)))
+        p = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
+        return t.filter(pa.array(ids[p] == d))
+
+    hits = embeddings.map_batches(filt, batch_format="pyarrow")
+    hm_parts, hid_parts = [], []
+    for b in hits.iter_batches(batch_format="pyarrow"):
+        hid_parts.append(b.column("vec_id").to_numpy(zero_copy_only=False))
+        hm_parts.append(_to_matrix(b.column("embedding")))
+    hid = np.concatenate(hid_parts) if hid_parts else np.empty(0, np.int64)
+    hmat = np.vstack(hm_parts) if hm_parts else np.empty((0, qm.shape[1]))
+    ho = np.argsort(hid, kind="stable")
+    hid, hmat = hid[ho], hmat[ho]
+    norms = np.linalg.norm(hmat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    hn = hmat / norms
+    qnorms = np.linalg.norm(qm, axis=1, keepdims=True)
+    qnorms[qnorms == 0] = 1.0
+    qn = qm / qnorms
+    qpos = {int(q): i for i, q in enumerate(query_ids)}
+
+    def rescore(t: pa.Table) -> pa.Table:
+        qi = t.column("query_id").to_numpy(zero_copy_only=False)
+        ni = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        vix = np.searchsorted(hid, ni)
+        qix = np.array([qpos[int(x)] for x in qi], dtype=np.int64)
+        score = 1.0 + np.einsum("ij,ij->i", qn[qix], hn[vix])
+        return pa.table(
+            {
+                "query_id": pa.array(qi, pa.int64()),
+                "neighbor_id": pa.array(ni, pa.int64()),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
+
+    scored = cand.map_batches(rescore, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "neighbor_id", "score"]]
+
+    return scored.groupby("query_id").map_groups(final_topk, batch_format="pandas")

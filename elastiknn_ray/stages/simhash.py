@@ -103,15 +103,53 @@ def _hamming_batch(batch: pa.Table, dims: int) -> pa.Table:
     )
 
 
+#: Packed signatures are 8*W bytes/doc, so broadcasting the whole signature
+#: table is cheap far beyond the Jaccard path's limit.
+BROADCAST_SIG_LIMIT = 20_000_000
+
+
+class _BroadcastHammingVerify:
+    """Actor-pool verifier: signature lane matrix broadcast once via
+    ray.put, looked up by sorted-id searchsorted per pair batch."""
+
+    def __init__(self, sig_ref, dims: int, tau: float):
+        import ray
+
+        s = ray.get(sig_ref) if not isinstance(sig_ref, dict) else sig_ref
+        self.ids = s["ids"]
+        self.sig = s["sig"]
+        self.dims = dims
+        self.tau = float(tau)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy()
+        db = batch.column("doc_b").to_numpy()
+        sa = self.sig[np.searchsorted(self.ids, da)]
+        sb = self.sig[np.searchsorted(self.ids, db)]
+        sim = hamming_similarity_packed(sa, sb, self.dims)
+        keep = sim >= self.tau
+        return pa.table(
+            {
+                "doc_a": pa.array(da[keep], pa.int64()),
+                "doc_b": pa.array(db[keep], pa.int64()),
+                "n_bands": batch.column("n_bands").filter(pa.array(keep)),
+                "hamming": pa.array(sim[keep], pa.float64()),
+            }
+        )
+
+
 def verify_hamming_pairs(
     pairs, signatures, dims: int, tau: float, *, num_partitions: int = 8
 ):
-    """pairs(doc_a, doc_b, n_bands) ⋈ signatures(doc_id, simhash) both sides
-    → packed Hamming similarity → filter(hamming >= tau).
+    """pairs(doc_a, doc_b, n_bands) × signatures(doc_id, simhash) → packed
+    Hamming similarity → filter(hamming >= tau).
 
     Decisions use the EXACT signature similarity, never the band-collision
     count (the reference's re-scoring contract, HashingQuery.scala:23-38).
+    Signatures are 8*W bytes/doc, so up to BROADCAST_SIG_LIMIT docs the whole
+    table broadcasts once (shuffle-free verify); above it, two hash joins.
     """
+    import ray
     import ray.data as rd
 
     pairs = pairs.materialize()
@@ -126,6 +164,27 @@ def verify_hamming_pairs(
                 }
             )
         )
+
+    n_docs = signatures.count()
+    if n_docs <= BROADCAST_SIG_LIMIT:
+        ids_parts, sig_parts = [], []
+        for b in signatures.select_columns(["doc_id", "simhash"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            ids_parts.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+            sig_parts.append(decode_sigs(b.column("simhash")))
+        ids = np.concatenate(ids_parts)
+        sig = np.vstack(sig_parts)
+        order = np.argsort(ids, kind="stable")
+        sig_ref = ray.put({"ids": ids[order], "sig": sig[order]})
+        return pairs.map_batches(
+            _BroadcastHammingVerify,
+            fn_constructor_kwargs={"sig_ref": sig_ref, "dims": dims, "tau": tau},
+            batch_format="pyarrow",
+            batch_size=8192,
+            concurrency=(1, 8),
+        )
+
     sig = signatures.select_columns(["doc_id", "simhash"])
     a = pairs.join(
         sig, join_type="inner", num_partitions=num_partitions,

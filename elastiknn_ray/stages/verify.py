@@ -39,32 +39,78 @@ def _jaccard_batch(batch: pa.Table) -> pa.Table:
 BROADCAST_DOC_LIMIT = 1_000_000
 
 
-class _BroadcastJaccardVerify:
-    """Actor-pool verifier holding the (sorted doc_id → shingle list) gather:
-    per pair batch, two np.searchsorted lookups + the batched exact-Jaccard
-    kernel.  The gather object lives in the object store once (ray.put) and
-    is read zero-copy per actor — never re-shipped per batch."""
+def _within(seg_lens: np.ndarray) -> np.ndarray:
+    """[0..l0-1, 0..l1-1, ...] position-within-segment array."""
+    total = int(seg_lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.zeros(len(seg_lens), dtype=np.int64)
+    np.cumsum(seg_lens[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, seg_lens)
 
-    def __init__(self, sig_ref, tau: float):
+
+class _BroadcastJaccardVerify:
+    """Actor-pool verifier over the candidate docs' signature blocks.
+
+    The driver never touches signature BYTES: filtered signature blocks stay
+    in the object store and their refs are handed to each actor, which reads
+    them zero-copy in ``__init__`` and builds only the small sorted-id →
+    (shard, row) index.  Per pair batch: searchsorted lookups + per-shard
+    vectorized ragged gathers + the batched exact-Jaccard kernel.
+    """
+
+    def __init__(self, shard_refs, tau: float):
         import ray
 
-        s = ray.get(sig_ref) if isinstance(sig_ref, ray.ObjectRef) else sig_ref
-        self.ids = s["ids"]  # int64 (D,) sorted
-        self.offsets = s["offsets"]  # int64 (D+1,)
-        self.values = s["values"]  # uint64 flat
+        tables = ray.get(list(shard_refs))
+        self.shard_offsets: list[np.ndarray] = []
+        self.shard_values: list[np.ndarray] = []
+        ids_parts, shard_parts, row_parts = [], [], []
+        for si, t in enumerate(tables):
+            if t.num_rows == 0:
+                continue
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            off, vals = decode_u64_lists(t.column("shingles"))
+            k = len(self.shard_offsets)
+            self.shard_offsets.append(off)
+            self.shard_values.append(vals)
+            ids_parts.append(ids)
+            shard_parts.append(np.full(len(ids), k, dtype=np.int64))
+            row_parts.append(np.arange(len(ids), dtype=np.int64))
+        if ids_parts:
+            all_ids = np.concatenate(ids_parts)
+            order = np.argsort(all_ids, kind="stable")
+            self.ids = all_ids[order]
+            self.shard_of = np.concatenate(shard_parts)[order]
+            self.row_of = np.concatenate(row_parts)[order]
+        else:
+            self.ids = np.empty(0, np.int64)
+            self.shard_of = np.empty(0, np.int64)
+            self.row_of = np.empty(0, np.int64)
         self.tau = float(tau)
 
     def _gather(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         ix = np.searchsorted(self.ids, doc_ids)
-        lens = self.offsets[ix + 1] - self.offsets[ix]
-        out_off = np.zeros(len(ix) + 1, dtype=np.int64)
+        s = self.shard_of[ix]
+        r = self.row_of[ix]
+        n = len(doc_ids)
+        lens = np.empty(n, dtype=np.int64)
+        for si in np.unique(s):
+            m = s == si
+            off = self.shard_offsets[si]
+            lens[m] = off[r[m] + 1] - off[r[m]]
+        out_off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=out_off[1:])
         out_vals = np.empty(out_off[-1], dtype=np.uint64)
-        # vectorized ragged gather: flat index = start[i] + arange within len
-        flat_ix = np.repeat(self.offsets[ix], lens) + (
-            np.arange(out_off[-1]) - np.repeat(out_off[:-1], lens)
-        )
-        out_vals[:] = self.values[flat_ix]
+        for si in np.unique(s):
+            m = s == si
+            off = self.shard_offsets[si]
+            starts = off[r[m]]
+            seg_lens = lens[m]
+            # flat source index per output element of this shard's rows
+            flat_src = np.repeat(starts, seg_lens) + _within(seg_lens)
+            flat_dst = np.repeat(out_off[:-1][m], seg_lens) + _within(seg_lens)
+            out_vals[flat_dst] = self.shard_values[si][flat_src]
         return out_off, out_vals
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -136,37 +182,16 @@ def _gather_candidate_signatures(pairs, signatures):
         pos = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
         return t.filter(pa.array(ids[pos] == d))
 
-    hits = signatures.select_columns(["doc_id", "shingles"]).map_batches(
-        filt, batch_format="pyarrow"
+    # the filtered blocks STAY in the object store; only their refs travel.
+    # (serial driver work here is O(candidate-id bytes), not O(signature
+    # bytes) — the signature payload never crosses the driver heap.)
+    hits = (
+        signatures.select_columns(["doc_id", "shingles"])
+        .map_batches(filt, batch_format="pyarrow")
+        .materialize()
     )
-    parts = []
-    for b in hits.iter_batches(batch_format="pyarrow"):
-        off, vals = decode_u64_lists(b.column("shingles"))
-        parts.append((b.column("doc_id").to_numpy(zero_copy_only=False), off, vals))
-    if not parts:
-        return {
-            "ids": np.empty(0, np.int64),
-            "offsets": np.zeros(1, np.int64),
-            "values": np.empty(0, np.uint64),
-        }
-    all_ids = np.concatenate([p[0] for p in parts])
-    lens = np.concatenate([np.diff(p[1]) for p in parts])
-    all_vals = np.concatenate([p[2] for p in parts])
-    order = np.argsort(all_ids, kind="stable")
-    # re-order the ragged values by sorted doc id
-    off0 = np.zeros(len(all_ids) + 1, dtype=np.int64)
-    np.cumsum(lens, out=off0[1:])
-    sorted_lens = lens[order]
-    off1 = np.zeros(len(all_ids) + 1, dtype=np.int64)
-    np.cumsum(sorted_lens, out=off1[1:])
-    flat_ix = np.repeat(off0[:-1][order], sorted_lens) + (
-        np.arange(off1[-1]) - np.repeat(off1[:-1], sorted_lens)
-    )
-    return {
-        "ids": all_ids[order],
-        "offsets": off1,
-        "values": all_vals[flat_ix],
-    }
+    # the ObjectRefs themselves keep the blocks alive for the actors
+    return {"shard_refs": hits.to_arrow_refs()}
 
 
 def verify_pairs(
@@ -213,10 +238,12 @@ def verify_pairs(
 
     gathered = _gather_candidate_signatures(pairs, signatures)
     if gathered is not None:
-        sig_ref = ray.put(gathered)
         return pairs.map_batches(
             _BroadcastJaccardVerify,
-            fn_constructor_kwargs={"sig_ref": sig_ref, "tau": tau},
+            fn_constructor_kwargs={
+                "shard_refs": gathered["shard_refs"],
+                "tau": tau,
+            },
             batch_format="pyarrow",
             batch_size=8192,
             concurrency=concurrency,

@@ -1,0 +1,141 @@
+"""Text-analysis kernels for training-data pipelines: language ID (stopword
+n-gram heuristic), quality counts/score (Gopher-style surface heuristics,
+Rae et al. 2021 — public knowledge), and document fingerprinting (minimum
+rolling-window hash).  All batch-vectorized; no external models or data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from elastiknn_ray.text.winnow import rolling_hashes
+
+#: Small function-word profiles (public knowledge).  Deliberately tiny: the
+#: op's contract is a deterministic heuristic, not a trained model.
+STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "the of and to in a is that it was for on are as with his they at be "
+        "this have from or had by not but what all were when we there can an "
+        "your which their said if do will each about how up out them she many".split()
+    ),
+    "de": frozenset(
+        "der die das und ist in den von zu mit sich des auf für nicht ein "
+        "eine als auch es an werden aus er hat dass sie nach wird bei einer "
+        "um am sind noch wie einem über einen so zum war haben nur oder".split()
+    ),
+    "fr": frozenset(
+        "le de la et les des en un une du que est pour qui dans a par plus "
+        "pas au sur ne se ce il sont avec son ils aux cette ses mais comme "
+        "ou si leur y dont elle tout deux meme ont cela".split()
+    ),
+    "es": frozenset(
+        "el la de que y a en un ser se no haber por con su para como estar "
+        "tener le lo todo pero mas hacer o poder decir este ir otro ese si "
+        "me ya ver porque dar cuando muy sin vez mucho".split()
+    ),
+}
+
+#: Minimum stopword-hit fraction to claim a language; below → "und".
+LANG_MIN_RATIO = 0.08
+
+
+def language_id(texts: list[str]) -> tuple[list[str], np.ndarray]:
+    """Per text: (language code or 'und', stopword-hit ratio of the winner).
+
+    Vectorized: the batch's tokens are factorized once; each unique token is
+    tested against each profile once; per-doc hit counts come from one
+    bincount per language.
+    """
+    n = len(texts)
+    counts = np.empty(n, dtype=np.int64)
+    flat: list[str] = []
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        counts[i] = len(toks)
+        flat.extend(toks)
+    if not flat:
+        return ["und"] * n, np.zeros(n)
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    doc_of_tok = np.repeat(np.arange(n), counts)
+    ratios = np.zeros((len(STOPWORDS), n))
+    for li, (_, words) in enumerate(STOPWORDS.items()):
+        is_stop = np.fromiter((u in words for u in uniques), dtype=bool, count=len(uniques))
+        hits = np.bincount(doc_of_tok, weights=is_stop[codes], minlength=n)
+        ratios[li] = np.divide(hits, counts, out=np.zeros(n), where=counts > 0)
+    best = ratios.argmax(axis=0)
+    best_ratio = ratios[best, np.arange(n)]
+    langs = list(STOPWORDS.keys())
+    out = [
+        langs[b] if r >= LANG_MIN_RATIO else "und"
+        for b, r in zip(best, best_ratio)
+    ]
+    return out, best_ratio
+
+
+_PUNCT = frozenset(".,;:!?'\"()[]{}-–—…/\\")
+
+
+def quality_counts(texts: list[str]) -> dict[str, np.ndarray]:
+    """Integer surface statistics per text (SQL-expressible; the DuckDB
+    oracle mirrors each count): n_chars, n_tokens, n_unique_tokens,
+    n_alpha_chars, n_digit_chars, n_punct_chars, max_token_len."""
+    n = len(texts)
+    out = {
+        k: np.zeros(n, dtype=np.int64)
+        for k in (
+            "n_chars",
+            "n_tokens",
+            "n_unique_tokens",
+            "n_alpha_chars",
+            "n_digit_chars",
+            "n_punct_chars",
+            "max_token_len",
+        )
+    }
+    for i, t in enumerate(texts):
+        t = t or ""
+        out["n_chars"][i] = len(t)
+        toks = t.split()
+        out["n_tokens"][i] = len(toks)
+        out["n_unique_tokens"][i] = len(set(toks))
+        out["max_token_len"][i] = max((len(x) for x in toks), default=0)
+        out["n_alpha_chars"][i] = sum(c.isalpha() for c in t)
+        out["n_digit_chars"][i] = sum(c.isdigit() for c in t)
+        out["n_punct_chars"][i] = sum(c in _PUNCT for c in t)
+    return out
+
+
+def quality_score(counts: dict[str, np.ndarray]) -> np.ndarray:
+    """Composite [0, 1] quality heuristic from the surface counts —
+    Gopher-style document filters expressed as soft penalties:
+    too-short/too-long docs, low alpha fraction, low token diversity,
+    degenerate mean token length."""
+    nt = counts["n_tokens"].astype(np.float64)
+    nc = np.maximum(counts["n_chars"].astype(np.float64), 1)
+    alpha_frac = counts["n_alpha_chars"] / nc
+    uniq_frac = np.divide(
+        counts["n_unique_tokens"], np.maximum(nt, 1), where=nt > 0
+    )
+    mean_tok = np.divide(nc, np.maximum(nt, 1))
+    s_len = np.clip(nt / 50.0, 0, 1) * np.clip((100_000 - nt) / 50_000.0, 0, 1)
+    s_alpha = np.clip((alpha_frac - 0.5) / 0.3, 0, 1)
+    s_uniq = np.clip((uniq_frac - 0.1) / 0.4, 0, 1)
+    s_tok = np.clip((mean_tok - 2.0) / 2.0, 0, 1) * np.clip((12.0 - mean_tok) / 4.0, 0, 1)
+    return np.clip(s_len * (0.4 * s_alpha + 0.3 * s_uniq + 0.3 * s_tok), 0, 1)
+
+
+def doc_fingerprints(texts: list[str], w: int = 32) -> np.ndarray:
+    """64-bit content fingerprint per text: the minimum rolling-hash over all
+    w-byte windows (robust to where a doc starts inside a larger stream);
+    shorter texts hash whole-content.  uint64 (N,)."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+        if len(b) == 0:
+            out[i] = 0
+            continue
+        h = rolling_hashes(b, min(w, len(b)))
+        out[i] = h.min() if len(h) else 0
+    return out
