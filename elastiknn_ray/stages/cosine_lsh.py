@@ -109,12 +109,66 @@ def _cosine_pair_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+#: Candidate-doc gate for the shuffle-free broadcast verify (embeddings are
+#: dims*4 bytes/doc; 2M docs at 256 dims ≈ 2 GB of object-store shards).
+BROADCAST_EMB_LIMIT = 2_000_000
+
+
+class _BroadcastCosineVerify:
+    """Actor-pool verifier over candidate docs' embedding blocks: shard refs
+    read zero-copy per actor; per pair batch two searchsorted lookups + one
+    einsum — no shuffle."""
+
+    def __init__(self, shard_refs, tau_cos: float):
+        import ray
+
+        tables = ray.get(list(shard_refs))
+        ids_parts, mats = [], []
+        for t in tables:
+            if t.num_rows == 0:
+                continue
+            ids_parts.append(t.column("vec_id").to_numpy(zero_copy_only=False))
+            mats.append(_to_matrix(t.column("embedding")))
+        if ids_parts:
+            ids = np.concatenate(ids_parts)
+            m = np.vstack(mats)
+            order = np.argsort(ids, kind="stable")
+            self.ids = ids[order]
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            self.mn = (m / norms)[order]
+        else:
+            self.ids = np.empty(0, np.int64)
+            self.mn = np.empty((0, 0))
+        self.thresh = 1.0 + float(tau_cos)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy()
+        db = batch.column("doc_b").to_numpy()
+        va = self.mn[np.searchsorted(self.ids, da)]
+        vb = self.mn[np.searchsorted(self.ids, db)]
+        score = 1.0 + np.einsum("ij,ij->i", va, vb)
+        keep = score >= self.thresh
+        return pa.table(
+            {
+                "vec_a": pa.array(da[keep], pa.int64()),
+                "vec_b": pa.array(db[keep], pa.int64()),
+                "n_bands": batch.column("n_bands").filter(pa.array(keep)),
+                "score": pa.array(score[keep], pa.float64()),
+            }
+        )
+
+
 def verify_cosine_pairs(pairs, embeddings, tau_cos: float, *, num_partitions: int = 8):
-    """pairs ⋈ embeddings both sides → exact cosine → filter(cos >= tau_cos).
+    """pairs × embeddings both sides → exact cosine → filter(cos >= tau_cos).
 
     ``tau_cos`` is a plain cosine; the emitted ``score`` column uses the
-    reference's 1+cos convention (docs/pages/api.md:444-450).
+    reference's 1+cos convention (docs/pages/api.md:444-450).  Physical plan
+    by candidate-doc count: under BROADCAST_EMB_LIMIT the candidate docs'
+    embedding blocks travel to verify actors as object refs (shuffle-free);
+    above it, two hash joins on packed-binary embeddings.
     """
+    import ray
     import ray.data as rd
 
     pairs = pairs.materialize()
@@ -129,6 +183,60 @@ def verify_cosine_pairs(pairs, embeddings, tau_cos: float, *, num_partitions: in
                 }
             )
         )
+
+    if pairs.count() <= 2 * BROADCAST_EMB_LIMIT:
+        uniq = pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "vec_id": pa.array(
+                        np.unique(
+                            np.concatenate(
+                                [
+                                    t.column("doc_a").to_numpy(zero_copy_only=False),
+                                    t.column("doc_b").to_numpy(zero_copy_only=False),
+                                ]
+                            )
+                        ),
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        id_parts = [
+            b.column("vec_id").to_numpy(zero_copy_only=False)
+            for b in uniq.iter_batches(batch_format="pyarrow")
+        ]
+        cand_ids = (
+            np.unique(np.concatenate(id_parts)) if id_parts else np.empty(0, np.int64)
+        )
+        if len(cand_ids) <= BROADCAST_EMB_LIMIT:
+            ids_ref = ray.put(cand_ids)
+
+            def filt(t: pa.Table, _r=ids_ref) -> pa.Table:
+                ids = ray.get(_r)
+                d = t.column("vec_id").to_numpy(zero_copy_only=False)
+                if len(ids) == 0:
+                    return t.filter(pa.array(np.zeros(len(d), dtype=bool)))
+                p = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
+                return t.filter(pa.array(ids[p] == d))
+
+            hits = (
+                embeddings.select_columns(["vec_id", "embedding"])
+                .map_batches(filt, batch_format="pyarrow")
+                .materialize()
+            )
+            return pairs.map_batches(
+                _BroadcastCosineVerify,
+                fn_constructor_kwargs={
+                    "shard_refs": hits.to_arrow_refs(),
+                    "tau_cos": tau_cos,
+                },
+                batch_format="pyarrow",
+                batch_size=8192,
+                concurrency=(1, 8),
+            )
+
     emb = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
         lambda t: pa.table(
             {"vec_id": t.column("vec_id"), "emb": encode_f32(_to_matrix(t.column("embedding")))}

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Sum
+
 
 PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
@@ -134,13 +134,42 @@ def candidate_pairs(
         lambda t, cap=cap: emit_pairs_partition(t, cap),
         batch_format="pyarrow",
     )
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("cnt", alias_name=count_col))
-        .map_batches(
-            lambda t, c=count_col: t.set_column(
-                t.schema.get_field_index(c), c, t.column(c).cast(pa.int64())
+    # cross-band dedup: one more coarse-keyed shuffle + vectorized run-sum
+    # per partition (Ray's built-in multi-key aggregate walks groups in
+    # Python — ruinous at millions of distinct pairs)
+    repart = pairs.map_batches(
+        lambda t: t.append_column(
+            "part",
+            pa.array(
+                (
+                    t.column("doc_a").to_numpy(zero_copy_only=False).view(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15)
+                    ^ t.column("doc_b").to_numpy(zero_copy_only=False).view(np.uint64)
+                )
+                % np.uint64(num_partitions),
+                pa.uint64(),
             ),
-            batch_format="pyarrow",
+        ),
+        batch_format="pyarrow",
+    )
+
+    def dedup_sum(t: pa.Table, c=count_col) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, cnt = a[order], b[order], cnt[order]
+        new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(cnt, starts)
+        return pa.table(
+            {
+                "doc_a": pa.array(a[starts], pa.int64()),
+                "doc_b": pa.array(b[starts], pa.int64()),
+                c: pa.array(sums.astype(np.int64), pa.int64()),
+            }
         )
+
+    return repart.groupby("part").map_groups(
+        lambda t: dedup_sum(t.drop_columns(["part"])), batch_format="pyarrow"
     )
