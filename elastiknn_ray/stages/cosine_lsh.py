@@ -234,7 +234,7 @@ def verify_cosine_pairs(pairs, embeddings, tau_cos: float, *, num_partitions: in
                 },
                 batch_format="pyarrow",
                 batch_size=8192,
-                concurrency=(1, 8),
+                concurrency=(1, 32),
             )
 
     emb = embeddings.select_columns(["vec_id", "embedding"]).map_batches(

@@ -182,7 +182,7 @@ def verify_hamming_pairs(
             fn_constructor_kwargs={"sig_ref": sig_ref, "dims": dims, "tau": tau},
             batch_format="pyarrow",
             batch_size=8192,
-            concurrency=(1, 8),
+            concurrency=(1, 32),
         )
 
     sig = signatures.select_columns(["doc_id", "simhash"])

@@ -200,7 +200,7 @@ def verify_pairs(
     tau: float,
     *,
     num_partitions: int = 32,
-    concurrency=(1, 8),
+    concurrency=(1, 32),
 ):
     """pairs(doc_a, doc_b, n_bands) × signatures(doc_id, shingles) → exact
     Jaccard → filter(jaccard >= tau).  Returns (doc_a, doc_b, n_bands,
