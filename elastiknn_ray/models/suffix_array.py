@@ -24,21 +24,28 @@ import numpy as np
 
 
 def suffix_array(s: np.ndarray) -> np.ndarray:
-    """Suffix array of a uint8 array via prefix doubling + lexsort."""
+    """Suffix array of a uint8 array via prefix doubling + lexsort.
+
+    Ranks are int32 (partitions are far below 2^31 bytes), halving the
+    memory traffic of every doubling round — the dominant cost.
+    """
     n = len(s)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    rank = s.astype(np.int64)
+    assert n < 2**31 - 1
+    rank = s.astype(np.int32)
     k = 1
     while True:
-        key2 = np.full(n, -1, dtype=np.int64)
+        key2 = np.full(n, -1, dtype=np.int32)
         key2[: n - k] = rank[k:]
         order = np.lexsort((key2, rank))
         r = rank[order]
         k2 = key2[order]
-        changed = np.r_[True, (r[1:] != r[:-1]) | (k2[1:] != k2[:-1])]
-        new_rank = np.empty(n, dtype=np.int64)
-        new_rank[order] = np.cumsum(changed) - 1
+        changed = np.empty(n, dtype=np.int32)
+        changed[0] = 1
+        changed[1:] = ((r[1:] != r[:-1]) | (k2[1:] != k2[:-1])).astype(np.int32)
+        new_rank = np.empty(n, dtype=np.int32)
+        new_rank[order] = np.cumsum(changed, dtype=np.int32) - 1
         rank = new_rank
         if rank[order[-1]] == n - 1:
             break
@@ -48,8 +55,21 @@ def suffix_array(s: np.ndarray) -> np.ndarray:
     return sa
 
 
-def adjacent_lcp(s: np.ndarray, sa: np.ndarray, max_lcp: int, chunk: int = 64) -> np.ndarray:
+def adjacent_lcp(
+    s: np.ndarray,
+    sa: np.ndarray,
+    max_lcp: int,
+    chunk: int = 64,
+    min_interest: int = 0,
+) -> np.ndarray:
     """LCP of each SA-adjacent suffix pair, capped at ``max_lcp``.
+
+    With ``min_interest > 0`` (screening mode), pairs whose LCP is below
+    ``min_interest`` may report any value < min_interest: a cheap first-
+    ``min(16, min_interest)``-byte comparison (two flat gathers, no per-pair
+    index matrices) retires the overwhelming majority of pairs before the
+    exact chunked loop runs on the survivors.  Pairs at or above
+    ``min_interest`` always get their exact (capped) LCP.
 
     Vectorized over all still-active pairs per chunk offset; a pair retires
     as soon as a mismatch (or a text end / the cap) is hit.
@@ -63,6 +83,21 @@ def adjacent_lcp(s: np.ndarray, sa: np.ndarray, max_lcp: int, chunk: int = 64) -
     lcp = np.zeros(m, dtype=np.int64)
     active = np.arange(m)
     off = 0
+    if min_interest > 0 and n > 16:
+        # cascading screens: each probe eliminates pairs whose LCP < probe
+        # (such pairs can't reach min_interest); gathers shrink geometrically
+        for probe in (16, 32, 64):
+            if probe > min_interest or probe >= n:
+                break
+            w = np.lib.stride_tricks.sliding_window_view(s, probe)  # view
+            aa = a[active]
+            bb = b[active]
+            full = (aa <= n - probe) & (bb <= n - probe)
+            ia = np.minimum(aa, n - probe)
+            ib = np.minimum(bb, n - probe)
+            eq = (w[ia] == w[ib]).all(axis=1) & full
+            active = active[eq]
+            # non-survivors keep lcp 0 (< min_interest, value immaterial)
     while len(active) and off < max_lcp:
         step = min(chunk, max_lcp - off)
         aa = a[active] + off
@@ -94,7 +129,9 @@ def duplicate_spans(
     span of the run-wide common-prefix length (capped at max_lcp).
     """
     sa = suffix_array(s)
-    lcp = adjacent_lcp(s, sa, max_lcp)
+    # screening mode: sub-min_len LCPs are never read (only the dup mask and
+    # run minima of dup adjacencies matter)
+    lcp = adjacent_lcp(s, sa, max_lcp, min_interest=min_len)
     dup = lcp >= min_len
     if not dup.any():
         return np.empty(0, np.int64), np.empty(0, np.int64)

@@ -126,3 +126,16 @@ def test_remove_spans_cuts_content(ray_session):
     out = out.set_index("doc_id")["text"]
     assert out[1] == "abehij"
     assert out[2] == "hello"
+
+
+def test_adjacent_lcp_screening_mode_agrees_above_threshold():
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 250, 400).astype(np.uint8)
+    rep = rng.integers(0, 250, 150).astype(np.uint8)
+    s = np.concatenate([base, rep, base[:100], rep])
+    sa = suffix_array(s)
+    exact = adjacent_lcp(s, sa, 1 << 14)
+    fast = adjacent_lcp(s, sa, 1 << 14, min_interest=100)
+    above = exact >= 100
+    assert (fast[above] == exact[above]).all()
+    assert (fast[~above] < 100).all()
