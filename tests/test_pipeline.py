@@ -135,3 +135,55 @@ def test_pipeline_deterministic_across_partitioning(ray_session):
     p2, c2 = run(7, 3)
     assert p1.equals(p2)
     assert c1.equals(c2)
+
+
+def test_hot_band_and_empty_sentinel_stress(ray_session):
+    """Pathological skew: hundreds of IDENTICAL docs collide in every band
+    (the universal hot band) and empty docs all hit the sentinel band.  The
+    cap+star policy must keep pair volume bounded while union-find still
+    recovers one full cluster per content group (SURVEY.md §4 hot-keys row;
+    JaccardLshModel.java:37-38 empty-vector semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elastiknn_ray.config import DedupConfig, JaccardLshConfig, ShingleConfig
+    from elastiknn_ray.pipelines.near_dup import near_dup_pipeline
+
+    n_same, n_empty, n_noise = 500, 50, 100
+    rng = np.random.default_rng(3)
+    same_text = " ".join(f"tok{i}" for i in range(60))
+    noise = [
+        " ".join(f"n{rng.integers(0, 10_000)}x{j}" for j in range(40))
+        for _ in range(n_noise)
+    ]
+    texts = [same_text] * n_same + [""] * n_empty + noise
+    ids = list(range(len(texts)))
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+    ).repartition(6)
+
+    cfg = DedupConfig(
+        shingle=ShingleConfig(k=5),
+        lsh=JaccardLshConfig(L=16, k=3, seed=0),
+        tau=0.5,
+        hot_band_cap=64,
+    )
+    res = near_dup_pipeline(docs, cfg, num_partitions=4)
+    clusters = res.clusters.to_pandas()
+    by_doc = clusters.set_index("doc_id")["cluster_id"]
+
+    # all identical docs in ONE cluster labeled by the min doc id (0)
+    same_labels = set(by_doc.loc[[i for i in range(n_same)]])
+    assert same_labels == {0}
+    # all empty docs cluster together (0/0-Jaccard = 1), separately from text
+    empty_ids = list(range(n_same, n_same + n_empty))
+    empty_labels = set(by_doc.loc[empty_ids])
+    assert empty_labels == {n_same}
+    # pair volume stayed bounded: star+cells, nowhere near g^2/2
+    n_pairs = res.pairs.count()
+    cap = cfg.hot_band_cap
+    per_group_bound = (n_same // cap + 1) * (cap * (cap - 1) // 2) + n_same
+    assert n_pairs < 2 * (per_group_bound + n_empty * (n_empty - 1) // 2)
