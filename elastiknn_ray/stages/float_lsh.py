@@ -58,6 +58,109 @@ class L2LshBandStage:
         )
 
 
+def _fnv_band_scalar(ix_l: int, ints: np.ndarray) -> int:
+    """Band identity for one (table, k-int-tuple) — EXACTLY the encoding of
+    :func:`l2_band_hashes` so probe hashes collide with corpus bands."""
+    h = _FNV_OFFSET
+    h = (h ^ np.uint64(ix_l)) * _FNV_PRIME
+    for v in ints:
+        u = np.int64(v).astype(np.int64).view(np.uint64)
+        h = (h ^ u) * _FNV_PRIME
+        h = (h ^ (u >> np.uint64(32))) * _FNV_PRIME
+    return int(h)
+
+
+def l2_probe_hashes(
+    v: np.ndarray, a: np.ndarray, b: np.ndarray, w: float, L: int, k: int, probes: int
+) -> np.ndarray:
+    """Query-side multiprobe expansion (L2LshModel.java:84-134, after Qin et
+    al. 2007): the first L hashes are the unperturbed bands; further hashes
+    come from a single global heap of ±1 perturbation sets ordered by summed
+    boundary distance, expanded via the reference's shift/expand moves.
+
+    Returns uint64 (L * (1 + min(probes, 3^k - 1)),) band hashes (fewer only
+    if the perturbation space exhausts).  Heap ties break deterministically
+    by insertion order (the reference's Java heap leaves tie order
+    unspecified).
+    """
+    import heapq
+
+    max_probes = 3**k - 1
+    probes = max(0, min(probes, max_probes))
+    proj = a @ v + b  # (L*k,)
+    hashes = np.floor(proj / w).astype(np.int64)
+    out = []
+    sorted_perts: list[list[tuple[int, int, float]]] = []  # per table
+    for ix_l in range(L):
+        ints = hashes[ix_l * k : (ix_l + 1) * k]
+        out.append(_fnv_band_scalar(ix_l, ints))
+        cands = []
+        for ixk in range(k):
+            p = proj[ix_l * k + ixk]
+            h = hashes[ix_l * k + ixk]
+            dneg = p - h * w
+            cands.append((ixk, -1, abs(dneg)))
+            cands.append((ixk, 1, abs(w - dneg)))
+        cands.sort(key=lambda t: t[2])
+        sorted_perts.append(cands)
+    if probes == 0:
+        return np.array(out, dtype=np.uint64)
+
+    # perturbation set = (ix_l, ix_max, members {ixk: delta})
+    heap: list = []
+    counter = 0
+
+    def push(ix_l, members, ix_max, dist_sum):
+        nonlocal counter
+        heapq.heappush(heap, (dist_sum, counter, ix_l, ix_max, members))
+        counter += 1
+
+    def shift(ix_l, members, ix_max, dist_sum):
+        cands = sorted_perts[ix_l]
+        if ix_max + 1 == len(cands):
+            return None
+        cixk, _, cdist = cands[ix_max]
+        nixk, ndelta, ndist = cands[ix_max + 1]
+        nm = dict(members)
+        nm.pop(cixk, None)
+        nm[nixk] = ndelta
+        ns = dist_sum - cdist + ndist
+        if nixk in members and cixk != nixk:
+            return shift(ix_l, nm, ix_max + 1, ns)
+        return (ix_l, nm, ix_max + 1, ns)
+
+    def expand(ix_l, members, ix_max, dist_sum):
+        cands = sorted_perts[ix_l]
+        if ix_max + 1 == len(cands):
+            return None
+        nixk, ndelta, ndist = cands[ix_max + 1]
+        nm = dict(members)
+        nm[nixk] = ndelta
+        ns = dist_sum + ndist
+        if nixk in members:
+            return shift(ix_l, nm, ix_max + 1, ns)
+        return (ix_l, nm, ix_max + 1, ns)
+
+    for ix_l in range(L):
+        ixk, delta, dist = sorted_perts[ix_l][0]
+        push(ix_l, {ixk: delta}, 0, dist)
+
+    want = L * probes
+    while heap and len(out) < L + want:
+        dist_sum, _, ix_l, ix_max, members = heapq.heappop(heap)
+        for nxt in (
+            shift(ix_l, members, ix_max, dist_sum),
+            expand(ix_l, members, ix_max, dist_sum),
+        ):
+            if nxt is not None:
+                push(*nxt)
+        ints = hashes[ix_l * k : (ix_l + 1) * k].copy()
+        for ixk, delta in members.items():
+            ints[ixk] += delta
+        out.append(_fnv_band_scalar(ix_l, ints))
+    return np.array(out, dtype=np.uint64)
+
+
 def permutation_hashes(m: np.ndarray, k: int, repeating: bool) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Top-k |value| index encoding (PermutationLshModel.java:25-52): per row
     emit the k largest-|value| indices encoded +(ix+1) for values >= 0 and

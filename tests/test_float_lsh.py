@@ -76,3 +76,56 @@ def test_permutation_magnitude_invariant():
     rng = np.random.default_rng(2)
     v = rng.normal(size=10)
     assert _perm(v, 5, True) == _perm(v * 3.7, 5, True)
+
+
+def _l2_params(dims, L, k, w, seed=0):
+    cfg = L2LshConfig(dims=dims, L=L, k=k, w=w, seed=seed)
+    p = derive_l2(cfg)
+    return p.A.astype(np.float64), p.B.astype(np.float64)
+
+
+def test_l2_probe_hash_counts():
+    """L2LshSuite 'produces exactly L * (probes + 1) hashes' (clamped at
+    3^k - 1 probes) — L2LshSuite.scala:23-37."""
+    from elastiknn_ray.stages.float_lsh import l2_probe_hashes
+
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=20)
+    for L in (1, 3, 7):
+        for k in (1, 2, 3):
+            a, b = _l2_params(20, L, k, 1)
+            max_k = 3**k - 1
+            for p in range(0, max_k + 3):
+                h = l2_probe_hashes(v, a, b, 1.0, L, k, p)
+                assert len(h) == L * (1 + min(p, max_k)), (L, k, p)
+
+
+def test_l2_probe_first_L_match_no_probe():
+    """L2LshSuite 'first L hashes are the same with and without probing'."""
+    from elastiknn_ray.stages.float_lsh import l2_probe_hashes
+
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=32)
+    a, b = _l2_params(32, 10, 3, 1)
+    h0 = l2_probe_hashes(v, a, b, 1.0, 10, 3, 0)
+    h3 = l2_probe_hashes(v, a, b, 1.0, 10, 3, 3)
+    assert len(h0) == 10
+    assert (h3[:10] == h0).all()
+    # probe hashes collide with the batch kernel's band identities
+    batch = l2_band_hashes(v[None, :], a, b, 1.0, 10, 3)[0]
+    assert (h0 == batch).all()
+
+
+def test_l2_probe_hits_neighbor_buckets():
+    """A vector just across a bucket boundary is reachable via probing."""
+    from elastiknn_ray.stages.float_lsh import l2_probe_hashes
+
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=16)
+    near = v + 0.05 * rng.normal(size=16)
+    a, b = _l2_params(16, 8, 2, 1)
+    hv = set(l2_probe_hashes(v, a, b, 1.0, 8, 2, 8).tolist())
+    hn = set(l2_probe_hashes(near, a, b, 1.0, 8, 2, 0).tolist())
+    base_overlap = len(set(l2_probe_hashes(v, a, b, 1.0, 8, 2, 0).tolist()) & hn)
+    assert len(hv & hn) >= base_overlap
+    assert len(hv & hn) > 0
