@@ -416,6 +416,25 @@ def q_knn_lsh_cosine(sf_dir: str):
     return out.select_columns(["query_id", "rank", "neighbor_id"])
 
 
+def q_knn_ivf_cosine(sf_dir: str):
+    """IVF-Flat ANN (stages/ivf.py): spherical-kmeans cells + nprobe search,
+    exact re-score.  Rows-only driver check; recall pinned vs exact in
+    tests/test_knn.py."""
+    from elastiknn_ray.stages.ivf import knn_ivf_cosine
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    q = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
+    qm = np.array(q["embedding"].tolist(), dtype=np.float64)
+    out = knn_ivf_cosine(
+        emb,
+        {"ids": q["vec_id"].to_numpy(), "matrix": qm},
+        k=5,
+        n_cells=16,
+        nprobe=8,
+    )
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
 def q_emb_l2_lsh_pairs(sf_dir: str):
     """L2-LSH candidate pairs + exact cosine verify over embeddings (H4
     no-probe path; rows-only driver check)."""
@@ -596,6 +615,7 @@ QUERIES = {
     "knn_exact_cosine": q_knn_exact_cosine,
     "knn_filtered_cosine": q_knn_filtered_cosine,
     "knn_lsh_cosine": q_knn_lsh_cosine,
+    "knn_ivf_cosine": q_knn_ivf_cosine,
     "emb_l2_lsh_pairs": q_emb_l2_lsh_pairs,
     "perm_hashes": q_perm_hashes,
     "image_features": q_image_features,

@@ -1,0 +1,140 @@
+"""IVF (inverted-file) approximate nearest neighbor over an embedding
+column — the partition-based scale path for similarity search (complements
+the LSH-bucketed path in cosine_lsh.py).
+
+Classic IVF-Flat (public knowledge, e.g. Jégou et al. 2011):
+
+1. **Train**: k-means centroids on a (small, seeded) sample — driver-side
+   numpy Lloyd iterations on the broadcast-small side.
+2. **Assign**: one matmul per corpus batch → ``cell`` column; the cell id is
+   the partitioning key a real deployment würde write Parquet partitions by.
+3. **Search**: a query probes its ``nprobe`` nearest cells; only docs in
+   probed cells are scored (exact cosine), then global top-k.
+
+The corpus scan is ONE streaming map_batches with the centroid matrix and
+query matrix broadcast via the task closure; no shuffle.  At 10^12-doc scale
+step 2's output is written partitioned-by-cell so step 3 reads only probed
+partitions (documented partitioning assumption).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from elastiknn_ray.stages.knn import _to_matrix
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def train_centroids(
+    sample: np.ndarray, n_cells: int, *, iters: int = 10, seed: int = 0
+) -> np.ndarray:
+    """Spherical k-means (cosine IVF) on a sample: seeded init, Lloyd
+    iterations, L2-normalized centroids.  Deterministic."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    n = len(x)
+    n_cells = min(n_cells, n)
+    cents = x[rng.choice(n, n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def assign_cells(embeddings, centroids: np.ndarray):
+    """(vec_id, embedding) → + cell:int32 column (one matmul per batch).
+    At scale, write_parquet(partition_cols=['cell']) on this output."""
+    cents = np.ascontiguousarray(centroids)
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch.column("embedding")))
+        cell = (m @ cents.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cell, pa.int32()))
+
+    return embeddings.map_batches(f, batch_format="pyarrow")
+
+
+def knn_ivf_cosine(
+    embeddings,
+    query_ids_matrix: dict,
+    k: int,
+    *,
+    n_cells: int = 64,
+    nprobe: int = 8,
+    train_sample: int = 4096,
+    seed: int = 0,
+):
+    """IVF-Flat cosine kNN: train on a seeded sample, score each query only
+    against docs in its ``nprobe`` nearest cells, reference 1+cos scores,
+    (score desc, neighbor_id) tie-break.
+
+    Returns (query_id, rank, neighbor_id, score).
+    """
+    query_ids = np.asarray(query_ids_matrix["ids"], dtype=np.int64)
+    qm = _normalize(np.asarray(query_ids_matrix["matrix"], dtype=np.float64))
+
+    # train: seeded driver-side sample (small side; broadcast from closure)
+    sample_df = embeddings.select_columns(["embedding"]).limit(train_sample).to_pandas()
+    sample = np.array(sample_df["embedding"].tolist(), dtype=np.float64)
+    cents = train_centroids(sample, n_cells, seed=seed)
+
+    # per query: the nprobe nearest cells
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    probe_sets = [frozenset(map(int, row)) for row in probe]
+
+    def scan(batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch.column("embedding")))
+        ids = batch.column("vec_id").to_numpy()
+        cell = (m @ cents.T).argmax(axis=1)
+        scores = 1.0 + qm @ m.T  # (Q, B)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, m.shape[0])
+        for qi in range(len(query_ids)):
+            mask = np.fromiter(
+                (int(c) in probe_sets[qi] for c in cell), dtype=bool, count=len(cell)
+            )
+            if not mask.any():
+                continue
+            cand = np.flatnonzero(mask)
+            s = scores[qi, cand]
+            top = cand[np.argpartition(-s, min(kk, len(cand)) - 1)[: kk]]
+            top = top[ids[top] != query_ids[qi]]
+            out_q.append(np.full(len(top), query_ids[qi], dtype=np.int64))
+            out_n.append(ids[top])
+            out_s.append(scores[qi, top])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(scan, batch_format="pyarrow", batch_size=4096)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "neighbor_id", "score"]]
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
