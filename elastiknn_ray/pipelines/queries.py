@@ -62,6 +62,33 @@ def q_token_counts(sf_dir: str):
     )
 
 
+#: BPE-ish pre-tokenization: word runs OR single non-word-non-space marks —
+#: the classic GPT-2-style splitter reduced to an RE2-compatible core so the
+#: DuckDB oracle can mirror it exactly.
+TOKEN_REGEX = r"\w+|[^\w\s]"
+
+
+def q_token_counts_regex(sf_dir: str):
+    """Token counting, regex mode (word runs + punctuation marks)."""
+    import re
+
+    pat = re.compile(TOKEN_REGEX, re.UNICODE)
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = np.fromiter(
+            (len(pat.findall(t or "")) for t in batch.column("text").to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def q_doc_stats(sf_dir: str):
     """Quality-scoring primitives: token count + total token length (ints)."""
 
@@ -595,6 +622,7 @@ def q_customer_order_counts(sf_dir: str):
 
 QUERIES = {
     "token_counts": q_token_counts,
+    "token_counts_regex": q_token_counts_regex,
     "doc_stats": q_doc_stats,
     "docs_by_lang": q_docs_by_lang,
     "exact_dedup_docs": q_exact_dedup_docs,
@@ -654,6 +682,10 @@ pairs AS (
 
 ORACLE_SQL = {
     "token_counts": f"SELECT doc_id, length({_TOKS}) AS n_tokens FROM documents",
+    "token_counts_regex": r"""
+        SELECT doc_id,
+               length(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
+        FROM documents""",
     "doc_stats": f"""
         SELECT doc_id,
                length({_TOKS}) AS n_tokens,
