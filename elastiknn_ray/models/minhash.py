@@ -93,9 +93,13 @@ def minhash_matrix(
         if tm == 0:
             continue  # all-empty docs; rows masked by band_hashes()
         vt = vplus[v0:v1]
-        # reduceat rejects start == len; clamp (empty docs in the tile read
-        # garbage, masked by band_hashes())
-        starts = np.minimum(offsets[d0:d1] - v0, tm - 1)
+        # empty docs are EXCLUDED from the reduceat (a clamped start would
+        # truncate the preceding doc's segment — reduceat segments run to the
+        # next start); their rows stay garbage, masked by band_hashes()
+        lens = offsets[d0 + 1 : d1 + 1] - offsets[d0:d1]
+        rows = np.flatnonzero(lens > 0)
+        starts = (offsets[d0:d1] - v0)[rows]
+        out_rows = rows + d0
         for lo in range(0, nf, _FN_CHUNK):
             hi = min(lo + _FN_CHUNK, nf)
             c = hi - lo
@@ -105,7 +109,7 @@ def minhash_matrix(
             np.multiply(vt[None, :], a, out=h)
             np.add(h, b, out=h)
             np.remainder(h, prime, out=h)
-            out[d0:d1, lo:hi] = np.minimum.reduceat(h, starts, axis=1).T
+            out[out_rows, lo:hi] = np.minimum.reduceat(h, starts, axis=1).T
     return out
 
 

@@ -62,22 +62,21 @@ def simhash_signatures(
     if m == 0:
         return out
     counts = np.diff(offsets)
-    # clamp like minhash: empty docs read garbage, overwritten below
-    starts = np.minimum(offsets[:-1], m - 1)
-    half = counts[:, None] / 2.0  # (N,1) majority threshold per doc
+    # empty docs are EXCLUDED from the reduceat (a clamped start would
+    # truncate the preceding doc's segment); their rows stay all-zero
+    rows = np.flatnonzero(counts > 0)
+    starts = offsets[:-1][rows]
+    half = counts[rows, None] / 2.0  # majority threshold per nonempty doc
     for lane in range(lanes):
         lane_hash = _splitmix64(values ^ _U64(0x9E3779B97F4A7C15 * (lane + 1) & 0xFFFFFFFFFFFFFFFF))
         # per-shingle bit matrix (M, 64) via little-endian byte unpack
         bits = np.unpackbits(
             lane_hash.view(np.uint8).reshape(m, 8), axis=1, bitorder="little"
         )
-        votes = np.add.reduceat(bits.astype(np.int64), starts, axis=0)  # (N, 64)
+        votes = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
         bit_set = votes > half  # strict majority; tie -> 0
         lane_vals = np.packbits(bit_set.astype(np.uint8), axis=1, bitorder="little")
-        out[:, lane] = lane_vals.view(np.uint64)[:, 0]
-    empty = counts == 0
-    if empty.any():
-        out[empty, :] = _U64(0)
+        out[rows, lane] = lane_vals.view(np.uint64)[:, 0]
     return out
 
 

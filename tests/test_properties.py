@@ -1,0 +1,127 @@
+"""Hypothesis property tests for the core kernels (SURVEY.md §5 layer 2:
+reference-vs-optimized oracles over randomized inputs)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from elastiknn_ray.config import JaccardLshConfig
+from elastiknn_ray.models.exact import jaccard_similarity, pair_intersection_counts
+from elastiknn_ray.models.minhash import (
+    band_hashes,
+    minhash_matrix,
+    minhash_scalar,
+)
+from elastiknn_ray.models.params import derive_minhash
+from elastiknn_ray.models.suffix_array import merge_spans, suffix_array
+
+_PARAMS = derive_minhash(JaccardLshConfig(L=4, k=2, seed=0))
+
+
+def _ragged(lists):
+    offsets = np.zeros(len(lists) + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in lists], out=offsets[1:])
+    values = (
+        np.concatenate([np.array(x, dtype=np.uint64) for x in lists])
+        if offsets[-1]
+        else np.empty(0, np.uint64)
+    )
+    return offsets, values
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 2**63 - 1), min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_minhash_vectorized_equals_scalar(lists):
+    # scalar oracle needs unique values per doc (sets); dedupe
+    lists = [sorted(set(x)) for x in lists]
+    offsets, values = _ragged(lists)
+    mm = minhash_matrix(offsets, values, _PARAMS)
+    for i, x in enumerate(lists):
+        if not x:
+            continue  # empty rows are masked by band_hashes
+        ref = minhash_scalar(np.array(x, dtype=np.uint64), _PARAMS)
+        got = mm[i].reshape(_PARAMS.L, _PARAMS.k)
+        for ix_l in range(_PARAMS.L):
+            assert tuple([ix_l] + [int(v) for v in got[ix_l]]) == ref[ix_l]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.integers(0, 1000), min_size=0, max_size=40),
+            st.lists(st.integers(0, 1000), min_size=0, max_size=40),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_jaccard_matches_python_sets(pairs):
+    a_lists = [sorted(set(a)) for a, _ in pairs]
+    b_lists = [sorted(set(b)) for _, b in pairs]
+    ao, av = _ragged(a_lists)
+    bo, bv = _ragged(b_lists)
+    isec = pair_intersection_counts(ao, av, bo, bv)
+    j = jaccard_similarity(ao, av, bo, bv)
+    for i, (a, b) in enumerate(zip(a_lists, b_lists)):
+        sa, sb = set(a), set(b)
+        assert isec[i] == len(sa & sb)
+        expect = 1.0 if not (sa | sb) else len(sa & sb) / len(sa | sb)
+        assert abs(j[i] - expect) < 1e-12
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_suffix_array_sorted_property(data):
+    s = np.frombuffer(data, dtype=np.uint8)
+    sa = suffix_array(s)
+    assert sorted(sa.tolist()) == list(range(len(s)))
+    for i in range(len(s) - 1):
+        assert data[sa[i] :] < data[sa[i + 1] :]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 100), st.integers(1, 30)),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_merge_spans_is_interval_union(spans):
+    starts = np.array([s for s, _ in spans], dtype=np.int64)
+    ends = np.array([s + l for s, l in spans], dtype=np.int64)
+    ms, me = merge_spans(starts, ends)
+    covered = set()
+    for s, l in spans:
+        covered.update(range(s, s + l))
+    got = set()
+    for s, e in zip(ms, me):
+        got.update(range(int(s), int(e)))
+    assert got == covered
+    # merged intervals are disjoint and sorted
+    for i in range(len(ms) - 1):
+        assert me[i] < ms[i + 1]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(0, 2**62), min_size=0, max_size=50),
+    st.integers(0, 3),
+)
+def test_band_hashes_partition_invariant(values, split_seed):
+    """The same doc set hashed as one batch or split across batches yields
+    identical band hashes (partition invariance of the kernel)."""
+    docs = [sorted(set(values[i::3])) for i in range(3)]
+    offsets, vals = _ragged(docs)
+    whole = band_hashes(offsets, vals, _PARAMS)
+    for i, d in enumerate(docs):
+        o1, v1 = _ragged([d])
+        single = band_hashes(o1, v1, _PARAMS)
+        assert (single[0] == whole[i]).all()
