@@ -130,6 +130,82 @@ def run_flagship(num_cpus: int, n_docs: int, seed: int) -> dict:
     }
 
 
+def run_recall(num_cpus: int, n_docs: int, seed: int) -> dict:
+    """The north-rule headline: dup-pair recall of the LSH pipeline against
+    ground truth at the operating config.
+
+    Truth = injected clone/near pairs (sources/synth.py truth_pairs) whose
+    EXACT shingle Jaccard >= tau — computed directly on the known pairs, so
+    the oracle is exact without an O(n^2) scan.  Recall = fraction of truth
+    pairs present in the pipeline's verified output.
+    """
+    _init_ray(num_cpus)
+    import numpy as np
+
+    from elastiknn_ray.models.exact import jaccard_similarity
+    from elastiknn_ray.pipelines.near_dup import near_dup_pipeline
+    from elastiknn_ray.pipelines.queries import DOCS_DEDUP_CFG as cfg
+    from elastiknn_ray.sources.synth import pages_dataset, truth_pairs, url_of
+    from elastiknn_ray.stages.hashing import decode_u64_lists, doc_id_of_url
+
+    pages = pages_dataset(n_docs, seed, override_num_blocks=64)
+    res = near_dup_pipeline(pages, cfg, num_partitions=16)
+
+    # signatures of every doc appearing in an injected pair
+    tp = truth_pairs(n_docs, seed)
+    n_hosts = max(4, n_docs // 50)
+    row_to_id = {}
+    rows = set(tp.column("doc_a").to_pylist()) | set(tp.column("doc_b").to_pylist())
+    for r in rows:
+        row_to_id[r] = doc_id_of_url(url_of(r, seed, n_hosts))
+    want_ids = np.array(sorted(row_to_id.values()), dtype=np.int64)
+
+    sig_map = {}
+    for b in res.signatures.iter_batches(batch_format="pyarrow"):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        off, vals = decode_u64_lists(b.column("shingles"))
+        pos = np.minimum(np.searchsorted(want_ids, ids), len(want_ids) - 1)
+        for i in np.flatnonzero(want_ids[pos] == ids):
+            sig_map[int(ids[i])] = vals[off[i] : off[i + 1]]
+
+    # exact Jaccard of each injected pair -> truth set at tau
+    truth = set()
+    for ra, rb in zip(tp.column("doc_a").to_pylist(), tp.column("doc_b").to_pylist()):
+        ia, ib = row_to_id[ra], row_to_id[rb]
+        sa, sb = sig_map[ia], sig_map[ib]
+        ao = np.array([0, len(sa)], dtype=np.int64)
+        bo = np.array([0, len(sb)], dtype=np.int64)
+        j = jaccard_similarity(ao, sa, bo, sb)[0]
+        if j >= cfg.tau:
+            truth.add((min(ia, ib), max(ia, ib)))
+
+    found = set()
+    for b in res.pairs.iter_batches(batch_format="pyarrow"):
+        for a_, b_ in zip(
+            b.column("doc_a").to_pylist(), b.column("doc_b").to_pylist()
+        ):
+            found.add((min(a_, b_), max(a_, b_)))
+
+    hit = len(truth & found)
+    recall = hit / len(truth) if truth else 1.0
+    return {
+        "metric": "dup_pair_recall",
+        "value": round(recall, 5),
+        "unit": "ratio",
+        "n_docs": n_docs,
+        "n_truth_pairs": len(truth),
+        "n_truth_hit": hit,
+        "num_cpus": num_cpus,
+        "config": {
+            "shingle_k": cfg.shingle.k,
+            "L": cfg.lsh.L,
+            "k": cfg.lsh.k,
+            "tau": cfg.tau,
+        },
+        "pass": recall >= 0.99,
+    }
+
+
 def run_scaling(repeats: int = 2) -> dict:
     """Fresh subprocess per parallelism level (clean Ray session, cold plan).
 
@@ -178,6 +254,7 @@ def run_scaling(repeats: int = 2) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--recall", action="store_true", help="dup-pair recall vs ground truth")
     ap.add_argument("--flagship", action="store_true", help="single fresh-session flagship run")
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--docs", type=int, default=SCALING_DOCS)
@@ -185,6 +262,8 @@ def main() -> None:
 
     if args.scaling:
         result = run_scaling()
+    elif args.recall:
+        result = run_recall(args.cpus, args.docs, SCALING_SEED)
     elif args.flagship:
         result = run_flagship(args.cpus, args.docs, SCALING_SEED)
     else:
