@@ -126,38 +126,45 @@ def knn_lsh_cosine(
 
     planes = derive_hyperplanes(lsh).planes.astype(np.float64)
     qh = hyperplane_band_hashes(qm, planes, lsh.L, lsh.k)  # (Q, L)
-    # sorted flat query-hash table for vectorized membership tests
+    # sorted flat query-hash table for vectorized membership tests; a hash
+    # value can be shared by several queries -> precompute equal-key run
+    # lengths at each run start (searchsorted-left always lands on a start)
     flat = qh.reshape(-1)
     owner = np.repeat(np.arange(len(query_ids)), lsh.L)
     order = np.argsort(flat, kind="stable")
     flat_sorted, owner_sorted = flat[order], owner[order]
+    run_starts = np.flatnonzero(np.r_[True, flat_sorted[1:] != flat_sorted[:-1]])
+    run_len_at = np.zeros(len(flat_sorted), dtype=np.int64)
+    run_len_at[run_starts] = np.diff(np.r_[run_starts, len(flat_sorted)])
 
     def count_hits(batch: pa.Table) -> pa.Table:
         m = _to_matrix(batch.column("embedding"))
         ids = batch.column("vec_id").to_numpy()
         bh = hyperplane_band_hashes(m, planes, lsh.L, lsh.k)  # (N, L)
         b = bh.reshape(-1)
-        pos = np.searchsorted(flat_sorted, b)
-        pos = np.minimum(pos, len(flat_sorted) - 1)
+        pos = np.minimum(np.searchsorted(flat_sorted, b), len(flat_sorted) - 1)
         hit = flat_sorted[pos] == b
-        # a hash can be shared by multiple queries; expand run of equal keys
         rows = np.flatnonzero(hit)
-        out_q, out_d = [], []
-        for r in rows:
-            p = pos[r]
-            while p < len(flat_sorted) and flat_sorted[p] == b[r]:
-                out_q.append(owner_sorted[p])
-                out_d.append(ids[r // lsh.L])
-                p += 1
+        hpos = pos[rows]
+        counts = run_len_at[hpos]
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                }
+            )
+        within_starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=within_starts[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(within_starts, counts)
+        owner_ix = np.repeat(hpos, counts) + within
+        out_q = query_ids[owner_sorted[owner_ix]]
+        out_d = np.repeat(ids[rows // lsh.L], counts)
         return pa.table(
             {
-                "query_id": pa.array(
-                    query_ids[np.array(out_q, dtype=np.int64)]
-                    if out_q
-                    else np.empty(0, np.int64),
-                    pa.int64(),
-                ),
-                "neighbor_id": pa.array(np.array(out_d, dtype=np.int64), pa.int64()),
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_d, pa.int64()),
             }
         )
 

@@ -125,3 +125,43 @@ def test_band_hashes_partition_invariant(values, split_seed):
         o1, v1 = _ragged([d])
         single = band_hashes(o1, v1, _PARAMS)
         assert (single[0] == whole[i]).all()
+
+
+from elastiknn_ray.models.simhash import simhash_scalar, simhash_signatures
+from elastiknn_ray.text.winnow import rolling_hashes, winnow_select
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 2**63 - 1), min_size=0, max_size=25),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_simhash_vectorized_equals_scalar(lists):
+    lists = [sorted(set(x)) for x in lists]
+    offsets, values = _ragged(lists)
+    sig = simhash_signatures(offsets, values, 64)
+    for i, x in enumerate(lists):
+        ref = simhash_scalar(np.array(x, dtype=np.uint64), 64)
+        assert (sig[i] == ref).all(), i
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=150),
+    st.binary(min_size=0, max_size=150),
+    st.binary(min_size=95, max_size=160),  # >= w + g - 1 = 95
+)
+def test_winnow_guarantee(prefix, suffix, common):
+    """Any exact common run of >= w + g - 1 bytes shares a selected
+    fingerprint regardless of its position in either text (the winnowing
+    guarantee, Schleimer et al. 2003)."""
+    w, g = 64, 32
+    ta = np.frombuffer(prefix + common, dtype=np.uint8)
+    tb = np.frombuffer(common + suffix, dtype=np.uint8)
+    ha, hb = rolling_hashes(ta, w), rolling_hashes(tb, w)
+    fa = set(ha[winnow_select(ha, g)].tolist())
+    fb = set(hb[winnow_select(hb, g)].tolist())
+    assert fa & fb
