@@ -558,6 +558,85 @@ def q_events_first_by_user_type(sf_dir: str):
     )
 
 
+def q_sessions(sf_dir: str):
+    """Sessionization (gaps-and-islands, 30-min gap) over events — windowed
+    per-user operator with a window-function SQL oracle."""
+    from elastiknn_ray.stages.windows import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return sessionize(ds, num_partitions=16)
+
+
+def q_top_orders_per_customer(sf_dir: str):
+    """Per-group top-k: each customer's 3 priciest orders with ranks."""
+    from elastiknn_ray.stages.windows import group_topk
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    return group_topk(
+        ds,
+        ["o_custkey"],
+        ["o_totalprice", "o_orderkey"],
+        [False, True],
+        3,
+        keep_cols=["o_custkey", "o_orderkey"],
+    )
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join: customers with no order above 300k total price (broadcast
+    the distinct matching custkey set — small side — into a filter; the
+    anti-join as a broadcast semi-filter rather than a shuffle join)."""
+    import ray
+
+    custkeys = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .filter(expr="o_totalprice > 300000")
+        .groupby("o_custkey")
+        .count()
+        .select_columns(["o_custkey"])
+    )
+    keys = np.sort(
+        np.concatenate(
+            [
+                b.column("o_custkey").to_numpy(zero_copy_only=False)
+                for b in custkeys.iter_batches(batch_format="pyarrow")
+            ]
+        )
+    )
+    keys_ref = ray.put(keys)
+
+    def f(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        c = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        if len(ks) == 0:
+            return t
+        pos = np.minimum(np.searchsorted(ks, c), len(ks) - 1)
+        return t.filter(pa.array(ks[pos] != c))
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def q_doc_length_histogram(sf_dir: str):
+    """Histogram: doc count per 1000-char n_chars bucket."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    bucketed = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "bucket": pa.array(
+                    t.column("n_chars").to_numpy(zero_copy_only=False) // 1000,
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed.groupby("bucket").aggregate(Count(alias_name="n_docs"))
+
+
 def q_events_agg(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -650,6 +729,10 @@ QUERIES = {
     "audio_chunks": q_audio_chunks,
     "events_first_by_user_type": q_events_first_by_user_type,
     "events_agg": q_events_agg,
+    "sessions": q_sessions,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "customers_without_orders": q_customers_without_orders,
+    "doc_length_histogram": q_doc_length_histogram,
     "lineitem_agg": q_lineitem_agg,
     "top_orders": q_top_orders,
     "customer_order_counts": q_customer_order_counts,
@@ -773,6 +856,36 @@ ORACLE_SQL = {
                  row_number() OVER (PARTITION BY user_id, event_type
                                     ORDER BY ts, event_id) AS rn
           FROM events) WHERE rn = 1""",
+    "sessions": """
+        WITH o AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, event_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_ix
+          FROM o
+        )
+        SELECT user_id, session_ix, COUNT(*) AS n_events,
+               first(event_id ORDER BY ts, event_id) AS first_event_id,
+               last(event_id ORDER BY ts, event_id) AS last_event_id
+        FROM s GROUP BY user_id, session_ix""",
+    "top_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, rank FROM (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          FROM orders) WHERE rank <= 3""",
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""",
+    "doc_length_histogram": """
+        SELECT n_chars // 1000 AS bucket, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1""",
     "events_agg": """
         SELECT user_id, event_type, COUNT(*) AS n_events,
                MIN(value) AS min_value, MAX(value) AS max_value
