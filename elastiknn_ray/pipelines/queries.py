@@ -619,7 +619,7 @@ def q_customers_without_orders(sf_dir: str):
 
 
 def q_doc_length_histogram(sf_dir: str):
-    """Histogram: doc count per 1000-char n_chars bucket."""
+    """Histogram: doc count per 200-char n_chars bucket."""
     from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "documents", ["n_chars"])
@@ -627,7 +627,7 @@ def q_doc_length_histogram(sf_dir: str):
         lambda t: pa.table(
             {
                 "bucket": pa.array(
-                    t.column("n_chars").to_numpy(zero_copy_only=False) // 1000,
+                    t.column("n_chars").to_numpy(zero_copy_only=False) // 200,
                     pa.int64(),
                 )
             }
@@ -884,7 +884,7 @@ ORACLE_SQL = {
         WHERE c_custkey NOT IN
           (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""",
     "doc_length_histogram": """
-        SELECT n_chars // 1000 AS bucket, COUNT(*) AS n_docs
+        SELECT n_chars // 200 AS bucket, COUNT(*) AS n_docs
         FROM documents GROUP BY 1""",
     "events_agg": """
         SELECT user_id, event_type, COUNT(*) AS n_events,
