@@ -85,8 +85,8 @@ def simhash_near_dup_pipeline(
     → union-find.  ``cfg`` is a SimHashDedupConfig.
     """
     from elastiknn_ray.stages.simhash import (
-        BitSampleBandStage,
         SimHashStage,
+        bitsample_bands_fn,
         verify_hamming_pairs,
     )
 
@@ -98,11 +98,10 @@ def simhash_near_dup_pipeline(
         SimHashStage(cfg.dims), batch_format="pyarrow", batch_size=1024
     ).materialize()
     bands = sigs.map_batches(
-        BitSampleBandStage,
-        fn_constructor_kwargs={"lsh": cfg.lsh},
+        bitsample_bands_fn,
+        fn_kwargs={"lsh": cfg.lsh},
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=band_concurrency or (1, 8),
     )
     cands = candidate_pairs(bands, cfg.hot_band_cap)
     verified = verify_hamming_pairs(

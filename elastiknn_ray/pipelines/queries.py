@@ -381,17 +381,16 @@ def q_emb_cosine_lsh_pairs(sf_dir: str):
     path for embedding near-dup; H3 CosineLshModel).  Rows-only driver check;
     recall vs the exact path is pinned in tests/test_cosine_lsh.py."""
     from elastiknn_ray.config import CosineLshConfig
-    from elastiknn_ray.stages.cosine_lsh import CosineLshBandStage, verify_cosine_pairs
+    from elastiknn_ray.stages.cosine_lsh import cosine_bands_fn, verify_cosine_pairs
     from elastiknn_ray.stages.pairs import candidate_pairs
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
     dims = len(emb.take(1)[0]["embedding"])
     bands = emb.map_batches(
-        CosineLshBandStage,
-        fn_constructor_kwargs={"lsh": CosineLshConfig(dims=dims, L=64, k=6, seed=0)},
+        cosine_bands_fn,
+        fn_kwargs={"lsh": CosineLshConfig(dims=dims, L=64, k=6, seed=0)},
         batch_format="pyarrow",
         batch_size=2048,
-        concurrency=(1, 8),
     )
     cands = candidate_pairs(bands, cap=256)
     return verify_cosine_pairs(cands, emb, EMB_COS_TAU, num_partitions=4).select_columns(
@@ -467,17 +466,16 @@ def q_emb_l2_lsh_pairs(sf_dir: str):
     no-probe path; rows-only driver check)."""
     from elastiknn_ray.config import L2LshConfig
     from elastiknn_ray.stages.cosine_lsh import verify_cosine_pairs
-    from elastiknn_ray.stages.float_lsh import L2LshBandStage
+    from elastiknn_ray.stages.float_lsh import l2_bands_fn
     from elastiknn_ray.stages.pairs import candidate_pairs
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
     dims = len(emb.take(1)[0]["embedding"])
     bands = emb.map_batches(
-        L2LshBandStage,
-        fn_constructor_kwargs={"lsh": L2LshConfig(dims=dims, L=16, k=2, w=4, seed=0)},
+        l2_bands_fn,
+        fn_kwargs={"lsh": L2LshConfig(dims=dims, L=16, k=2, w=4, seed=0)},
         batch_format="pyarrow",
         batch_size=2048,
-        concurrency=(1, 8),
     )
     cands = candidate_pairs(bands, cap=256)
     return verify_cosine_pairs(cands, emb, EMB_COS_TAU, num_partitions=4).select_columns(

@@ -67,6 +67,19 @@ class CosineLshBandStage:
         )
 
 
+#: worker-process model cache (see hashing._MODEL_CACHE)
+_MODEL_CACHE: dict = {}
+
+
+def cosine_bands_fn(batch: pa.Table, lsh: CosineLshConfig) -> pa.Table:
+    """Task-pool variant of CosineLshBandStage (planes cached per worker)."""
+    stage = _MODEL_CACHE.get(lsh)
+    if stage is None:
+        stage = CosineLshBandStage(lsh)
+        _MODEL_CACHE[lsh] = stage
+    return stage(batch)
+
+
 def encode_f32(m: np.ndarray) -> pa.Array:
     """(N, dims) float matrix → binary column of 4*dims-byte LE blobs.
     Dataset.join (acero) rejects list<float> payload columns; packed blobs

@@ -201,6 +201,19 @@ def permutation_hashes(m: np.ndarray, k: int, repeating: bool) -> tuple[np.ndarr
     return row_ix, enc.reshape(-1), freq.reshape(-1)
 
 
+#: worker-process model cache (see hashing._MODEL_CACHE)
+_MODEL_CACHE: dict = {}
+
+
+def l2_bands_fn(batch: pa.Table, lsh: L2LshConfig) -> pa.Table:
+    """Task-pool variant of L2LshBandStage (projections cached per worker)."""
+    stage = _MODEL_CACHE.get(lsh)
+    if stage is None:
+        stage = L2LshBandStage(lsh)
+        _MODEL_CACHE[lsh] = stage
+    return stage(batch)
+
+
 class PermutationLshStage:
     """(vec_id, embedding) → exploded (doc_id, hash, freq) rows."""
 

@@ -89,6 +89,20 @@ class BitSampleBandStage:
         )
 
 
+#: worker-process model cache (see hashing._MODEL_CACHE): task pools reuse
+#: worker processes, giving per-node parameter reuse with unbounded scaling
+_MODEL_CACHE: dict = {}
+
+
+def bitsample_bands_fn(batch: pa.Table, lsh: HammingLshConfig) -> pa.Table:
+    """Task-pool variant of BitSampleBandStage."""
+    stage = _MODEL_CACHE.get(lsh)
+    if stage is None:
+        stage = BitSampleBandStage(lsh)
+        _MODEL_CACHE[lsh] = stage
+    return stage(batch)
+
+
 def _hamming_batch(batch: pa.Table, dims: int) -> pa.Table:
     sa = decode_sigs(batch.column("simhash_a"))
     sb = decode_sigs(batch.column("simhash_b"))
