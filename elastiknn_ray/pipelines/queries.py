@@ -412,6 +412,29 @@ def q_knn_exact_cosine(sf_dir: str):
     return out.select_columns(["query_id", "rank", "neighbor_id"])
 
 
+def _knn_metric_query(sf_dir: str, metric: str):
+    from elastiknn_ray.stages.knn import knn_exact_metric
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
+    qm = np.array(q["embedding"].tolist(), dtype=np.float64)
+    out = knn_exact_metric(
+        emb, {"ids": q["vec_id"].to_numpy(), "matrix": qm}, k=5, metric=metric
+    )
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
+def q_knn_exact_l2(sf_dir: str):
+    """Brute-force L2 kNN, reference score 1/(1+dist) (ExactModel.java:26-28);
+    integer rank output."""
+    return _knn_metric_query(sf_dir, "l2")
+
+
+def q_knn_exact_l1(sf_dir: str):
+    """Brute-force L1 kNN (ExactModel.java:31-33); integer rank output."""
+    return _knn_metric_query(sf_dir, "l1")
+
+
 def q_knn_filtered_cosine(sf_dir: str):
     """Filter + kNN composition (SURVEY.md §2.3 Q8: elastiknn inside a bool
     filter query): brute-force cosine kNN restricted to corpus label = 0."""
@@ -718,6 +741,8 @@ QUERIES = {
     "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
     "emb_cosine_lsh_pairs": q_emb_cosine_lsh_pairs,
     "knn_exact_cosine": q_knn_exact_cosine,
+    "knn_exact_l2": q_knn_exact_l2,
+    "knn_exact_l1": q_knn_exact_l1,
     "knn_filtered_cosine": q_knn_filtered_cosine,
     "knn_lsh_cosine": q_knn_lsh_cosine,
     "knn_ivf_cosine": q_knn_ivf_cosine,
@@ -795,6 +820,30 @@ ORACLE_SQL = {
     "invalid_docs": """
         SELECT doc_id FROM documents
         WHERE text = '' OR lang NOT IN ('en', 'de', 'fr')""",
+    "knn_exact_l2": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                   WHERE vec_id < 10),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     list_distance(q.qe, c.embedding) AS dist
+              FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist, neighbor_id) AS rank
+              FROM s)
+        SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""",
+    "knn_exact_l1": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                   WHERE vec_id < 10),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     list_aggregate(
+                       list_transform(q.qe, (x, i) -> abs(x - c.embedding[i])),
+                       'sum') AS dist
+              FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist, neighbor_id) AS rank
+              FROM s)
+        SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""",
     "knn_filtered_cosine": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
                    WHERE vec_id < 10),

@@ -95,6 +95,60 @@ def knn_exact(embeddings, query_ids_matrix: dict, k: int, *, concurrency=(1, 8))
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def knn_exact_metric(embeddings, query_ids_matrix: dict, k: int, metric: str):
+    """Brute-force kNN under the reference's L1/L2 score conventions
+    (ExactModel.java:26-33: score = 1/(1+dist)); same broadcast + partial
+    top-k shape as the cosine path.  ``metric`` in {"l1", "l2"}."""
+    query_ids = np.asarray(query_ids_matrix["ids"], dtype=np.int64)
+    qm = np.asarray(query_ids_matrix["matrix"], dtype=np.float64)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        m = _to_matrix(batch.column("embedding"))
+        if metric == "l2":
+            # ||q - x||^2 = |q|^2 - 2 q.x + |x|^2, sqrt at the end
+            d2 = (
+                (qm * qm).sum(axis=1)[:, None]
+                - 2.0 * (qm @ m.T)
+                + (m * m).sum(axis=1)[None, :]
+            )
+            dist = np.sqrt(np.maximum(d2, 0.0))
+        elif metric == "l1":
+            dist = np.abs(qm[:, None, :] - m[None, :, :]).sum(axis=2)
+        else:
+            raise ValueError(metric)
+        scores = 1.0 / (1.0 + dist)
+        nq, nb = scores.shape
+        kk = min(k + 1, nb)
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(nq):
+            cand = part[qi]
+            cand = cand[ids[cand] != query_ids[qi]]
+            out_q.append(np.full(len(cand), query_ids[qi], dtype=np.int64))
+            out_n.append(ids[cand])
+            out_s.append(scores[qi, cand])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(
+        score_batch, batch_format="pyarrow", batch_size=4096
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "neighbor_id", "score"]]
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 def knn_lsh_cosine(
     embeddings,
     query_ids_matrix: dict,
