@@ -206,6 +206,84 @@ def run_recall(num_cpus: int, n_docs: int, seed: int) -> dict:
     }
 
 
+def run_ann(num_cpus: int) -> dict:
+    """ann-benchmarks-style recall/QPS sweep (the reference's §6 protocol:
+    fixed corpus + queries, vary the candidate budget, report recall@k and
+    queries/sec) — our LSH kNN read path vs the brute-force exact baseline
+    on a deterministic 60k x 128 clustered corpus."""
+    _init_ray(num_cpus)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elastiknn_ray.config import CosineLshConfig
+    from elastiknn_ray.stages.knn import (
+        build_cosine_band_index,
+        knn_exact,
+        knn_lsh_cosine,
+    )
+
+    n, dims, n_q, k = 60_000, 128, 500, 100
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(256, dims))
+    m = (
+        centers[rng.integers(0, 256, n)] + 0.35 * rng.normal(size=(n, dims))
+    ).astype(np.float32)
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "embedding": pa.array(list(m), pa.list_(pa.float32())),
+            }
+        )
+    ).materialize()
+    q = {"ids": np.arange(n_q, dtype=np.int64), "matrix": m[:n_q].astype(np.float64)}
+
+    t0 = time.perf_counter()
+    exact = knn_exact(emb, q, k=k).to_pandas()
+    exact_s = time.perf_counter() - t0
+    truth = {
+        qi: set(exact[exact["query_id"] == qi]["neighbor_id"]) for qi in range(n_q)
+    }
+
+    # fit/query split (ann-benchmarks protocol): build the band index once
+    lsh_cfg = CosineLshConfig(dims=dims, L=100, k=12, seed=0)
+    t0 = time.perf_counter()
+    index = build_cosine_band_index(emb, lsh_cfg)
+    fit_s = time.perf_counter() - t0
+
+    points = []
+    for candidates in (100, 500, 1000):
+        t0 = time.perf_counter()
+        approx = knn_lsh_cosine(
+            emb, q, k=k, candidates=candidates, lsh=lsh_cfg, corpus_bands=index,
+        ).to_pandas()
+        el = time.perf_counter() - t0
+        recalls = [
+            len(truth[qi] & set(approx[approx["query_id"] == qi]["neighbor_id"]))
+            / max(len(truth[qi]), 1)
+            for qi in range(n_q)
+        ]
+        points.append(
+            {
+                "candidates": candidates,
+                "recall_at_100": round(float(np.mean(recalls)), 3),
+                "qps": round(n_q / el, 1),
+                "elapsed_sec": round(el, 2),
+            }
+        )
+    return {
+        "metric": "ann_recall_qps",
+        "value": points[-1]["recall_at_100"],
+        "unit": "recall@100",
+        "corpus": {"n": n, "dims": dims, "n_queries": n_q, "k": k},
+        "exact_baseline": {"qps": round(n_q / exact_s, 1), "elapsed_sec": round(exact_s, 2)},
+        "fit_sec": round(fit_s, 2),
+        "lsh_points": points,
+        "num_cpus": num_cpus,
+    }
+
+
 def run_scaling(repeats: int = 2) -> dict:
     """Fresh subprocess per parallelism level (clean Ray session, cold plan).
 
@@ -255,6 +333,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--recall", action="store_true", help="dup-pair recall vs ground truth")
+    ap.add_argument("--ann", action="store_true", help="ann-benchmarks-style recall/QPS sweep")
     ap.add_argument("--flagship", action="store_true", help="single fresh-session flagship run")
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--docs", type=int, default=SCALING_DOCS)
@@ -264,6 +343,8 @@ def main() -> None:
         result = run_scaling()
     elif args.recall:
         result = run_recall(args.cpus, args.docs, SCALING_SEED)
+    elif args.ann:
+        result = run_ann(args.cpus)
     elif args.flagship:
         result = run_flagship(args.cpus, args.docs, SCALING_SEED)
     else:

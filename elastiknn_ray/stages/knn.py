@@ -149,6 +149,18 @@ def knn_exact_metric(embeddings, query_ids_matrix: dict, k: int, metric: str):
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def build_cosine_band_index(embeddings, lsh):
+    """Materialized exploded (doc_id, band_hash) corpus index — the engine's
+    analogue of the reference's Lucene hash postings (HashingQuery.index,
+    HashingQuery.scala:88-99).  Build once, query many times."""
+    from elastiknn_ray.stages.cosine_lsh import cosine_bands_fn
+
+    return embeddings.map_batches(
+        cosine_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow",
+        batch_size=4096,
+    ).materialize()
+
+
 def knn_lsh_cosine(
     embeddings,
     query_ids_matrix: dict,
@@ -157,6 +169,7 @@ def knn_lsh_cosine(
     candidates: int = 100,
     lsh=None,
     concurrency=(1, 8),
+    corpus_bands=None,
 ):
     """Approximate cosine kNN — the reference's full read path (SURVEY.md
     §3.2): hash the query vectors once (ElastiknnQueryBuilder step 3), count
@@ -169,6 +182,10 @@ def knn_lsh_cosine(
     searchsorted membership test.  The candidate cut is global-per-query
     (the reference's per-segment budget becomes a per-query budget —
     SURVEY.md §2.3 Q2 note).
+
+    Pass ``corpus_bands`` (from :func:`build_cosine_band_index`) to skip
+    re-hashing the corpus — the fit/query split of the reference's
+    ann-benchmarks protocol (index built once before timing).
     """
     from elastiknn_ray.config import CosineLshConfig
     from elastiknn_ray.models.params import derive_hyperplanes
@@ -191,11 +208,7 @@ def knn_lsh_cosine(
     run_len_at = np.zeros(len(flat_sorted), dtype=np.int64)
     run_len_at[run_starts] = np.diff(np.r_[run_starts, len(flat_sorted)])
 
-    def count_hits(batch: pa.Table) -> pa.Table:
-        m = _to_matrix(batch.column("embedding"))
-        ids = batch.column("vec_id").to_numpy()
-        bh = hyperplane_band_hashes(m, planes, lsh.L, lsh.k)  # (N, L)
-        b = bh.reshape(-1)
+    def _expand_hits(b: np.ndarray, doc_of_row: np.ndarray) -> pa.Table:
         pos = np.minimum(np.searchsorted(flat_sorted, b), len(flat_sorted) - 1)
         hit = flat_sorted[pos] == b
         rows = np.flatnonzero(hit)
@@ -214,7 +227,7 @@ def knn_lsh_cosine(
         within = np.arange(total, dtype=np.int64) - np.repeat(within_starts, counts)
         owner_ix = np.repeat(hpos, counts) + within
         out_q = query_ids[owner_sorted[owner_ix]]
-        out_d = np.repeat(ids[rows // lsh.L], counts)
+        out_d = np.repeat(doc_of_row[rows], counts)
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
@@ -222,12 +235,28 @@ def knn_lsh_cosine(
             }
         )
 
-    from ray.data.aggregate import Count
+    def count_hits(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column("embedding"))
+        ids = batch.column("vec_id").to_numpy()
+        bh = hyperplane_band_hashes(m, planes, lsh.L, lsh.k)  # (N, L)
+        return _expand_hits(bh.reshape(-1), np.repeat(ids, lsh.L))
 
-    counts = (
-        embeddings.map_batches(count_hits, batch_format="pyarrow")
-        .groupby(["query_id", "neighbor_id"])
-        .aggregate(Count(alias_name="n_bands"))
+    def count_hits_index(batch: pa.Table) -> pa.Table:
+        return _expand_hits(
+            batch.column("band_hash").to_numpy(zero_copy_only=False),
+            batch.column("doc_id").to_numpy(zero_copy_only=False),
+        )
+
+    from elastiknn_ray.stages.pairs import grouped_pair_count
+
+    if corpus_bands is not None:
+        hits = corpus_bands.map_batches(
+            count_hits_index, batch_format="pyarrow", batch_size=65536
+        )
+    else:
+        hits = embeddings.map_batches(count_hits, batch_format="pyarrow")
+    counts = grouped_pair_count(
+        hits, "query_id", "neighbor_id", count_col="n_bands", num_partitions=16
     )
 
     def cut(g: pd.DataFrame) -> pd.DataFrame:
@@ -240,7 +269,9 @@ def knn_lsh_cosine(
     cand = counts.groupby("query_id").map_groups(cut, batch_format="pandas")
     cand = cand.materialize()
 
-    # exact re-score of candidates only (Q3): gather candidate embeddings
+    # exact re-score of candidates only (Q3): candidate embedding blocks
+    # stay in the object store; rescore actors read them zero-copy (same
+    # shard-refs pattern as the verify stages)
     cand_ids = np.unique(
         np.concatenate(
             [
@@ -251,7 +282,6 @@ def knn_lsh_cosine(
         )
     )
     import ray
-    import ray.data as rd
 
     ids_ref = ray.put(cand_ids)
 
@@ -263,38 +293,64 @@ def knn_lsh_cosine(
         p = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
         return t.filter(pa.array(ids[p] == d))
 
-    hits = embeddings.map_batches(filt, batch_format="pyarrow")
-    hm_parts, hid_parts = [], []
-    for b in hits.iter_batches(batch_format="pyarrow"):
-        hid_parts.append(b.column("vec_id").to_numpy(zero_copy_only=False))
-        hm_parts.append(_to_matrix(b.column("embedding")))
-    hid = np.concatenate(hid_parts) if hid_parts else np.empty(0, np.int64)
-    hmat = np.vstack(hm_parts) if hm_parts else np.empty((0, qm.shape[1]))
-    ho = np.argsort(hid, kind="stable")
-    hid, hmat = hid[ho], hmat[ho]
-    norms = np.linalg.norm(hmat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    hn = hmat / norms
+    hits_ds = (
+        embeddings.map_batches(filt, batch_format="pyarrow").materialize()
+    )
     qnorms = np.linalg.norm(qm, axis=1, keepdims=True)
     qnorms[qnorms == 0] = 1.0
     qn = qm / qnorms
-    qpos = {int(q): i for i, q in enumerate(query_ids)}
+    q_ref = ray.put({"ids": query_ids, "qn": qn})
 
-    def rescore(t: pa.Table) -> pa.Table:
-        qi = t.column("query_id").to_numpy(zero_copy_only=False)
-        ni = t.column("neighbor_id").to_numpy(zero_copy_only=False)
-        vix = np.searchsorted(hid, ni)
-        qix = np.array([qpos[int(x)] for x in qi], dtype=np.int64)
-        score = 1.0 + np.einsum("ij,ij->i", qn[qix], hn[vix])
-        return pa.table(
-            {
-                "query_id": pa.array(qi, pa.int64()),
-                "neighbor_id": pa.array(ni, pa.int64()),
-                "score": pa.array(score, pa.float64()),
-            }
-        )
+    class _Rescore:
+        def __init__(self, shard_refs, q_ref):
+            tables = ray.get(list(shard_refs))
+            ids_parts, mats = [], []
+            for t in tables:
+                if t.num_rows == 0:
+                    continue
+                ids_parts.append(t.column("vec_id").to_numpy(zero_copy_only=False))
+                mats.append(_to_matrix(t.column("embedding")))
+            if ids_parts:
+                hid = np.concatenate(ids_parts)
+                hmat = np.vstack(mats)
+                ho = np.argsort(hid, kind="stable")
+                self.hid = hid[ho]
+                norms = np.linalg.norm(hmat, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                self.hn = (hmat / norms)[ho]
+            else:
+                self.hid = np.empty(0, np.int64)
+                self.hn = np.empty((0, 0))
+            qd = ray.get(q_ref)
+            self.qn = qd["qn"]
+            qids = qd["ids"]
+            self.q_sorted = np.sort(qids)
+            self.q_perm = np.argsort(qids, kind="stable")
 
-    scored = cand.map_batches(rescore, batch_format="pyarrow")
+        def __call__(self, t: pa.Table) -> pa.Table:
+            qi = t.column("query_id").to_numpy(zero_copy_only=False)
+            ni = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+            vix = np.searchsorted(self.hid, ni)
+            qix = self.q_perm[np.searchsorted(self.q_sorted, qi)]
+            score = 1.0 + np.einsum("ij,ij->i", self.qn[qix], self.hn[vix])
+            return pa.table(
+                {
+                    "query_id": pa.array(qi, pa.int64()),
+                    "neighbor_id": pa.array(ni, pa.int64()),
+                    "score": pa.array(score, pa.float64()),
+                }
+            )
+
+    scored = cand.map_batches(
+        _Rescore,
+        fn_constructor_kwargs={
+            "shard_refs": hits_ds.to_arrow_refs(),
+            "q_ref": q_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, 8),
+    )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g["neighbor_id"] != g["query_id"]]

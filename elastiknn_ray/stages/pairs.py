@@ -106,6 +106,62 @@ def emit_pairs_partition(table: pa.Table, cap: int) -> pa.Table:
     )
 
 
+def grouped_pair_count(
+    ds,
+    a_col: str,
+    b_col: str,
+    *,
+    count_col: str = "n",
+    cnt_col: str | None = None,
+    num_partitions: int = 64,
+):
+    """Vectorized (a, b) group count/sum: coarse hash-partition shuffle + one
+    lexsort/reduceat kernel per partition.  ``cnt_col`` sums an existing
+    count column; None counts rows.  (Ray's built-in multi-key aggregate
+    walks groups in Python — ruinous at many distinct keys.)"""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part",
+            pa.array(
+                (
+                    t.column(a_col).to_numpy(zero_copy_only=False).view(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15)
+                    ^ t.column(b_col).to_numpy(zero_copy_only=False).view(np.uint64)
+                )
+                % np.uint64(num_partitions),
+                pa.uint64(),
+            ),
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False)
+        b = t.column(b_col).to_numpy(zero_copy_only=False)
+        cnt = (
+            t.column(cnt_col).to_numpy(zero_copy_only=False)
+            if cnt_col
+            else np.ones(len(a), dtype=np.int64)
+        )
+        order = np.lexsort((b, a))
+        a, b, cnt = a[order], b[order], cnt[order]
+        new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(cnt, starts)
+        return pa.table(
+            {
+                a_col: pa.array(a[starts], pa.int64()),
+                b_col: pa.array(b[starts], pa.int64()),
+                count_col: pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: kernel(t.drop_columns(["part"])), batch_format="pyarrow")
+    )
+
+
 def candidate_pairs(
     bands, cap: int, *, count_col: str = "n_bands", num_partitions: int = 64
 ):
