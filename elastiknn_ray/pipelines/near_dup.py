@@ -2,13 +2,15 @@
 (SURVEY.md §3.2 "Ray Data equivalent").
 
     pages(url, [html|text], ...)
-      → prepare (doc_id, text)                       [stateless map_batches]
-      → signatures (doc_id, shingles)                [stateless map_batches]
-      → bands (doc_id, band_hash) exploded           [actor pool: LSH params]
-      → candidate pairs                              [groupby(band_hash), salted]
-      → cross-band dedup + collision count           [groupby(doc_a, doc_b)]
-      → exact-Jaccard verify                         [2 hash joins + kernel]
-      → union-find fixpoint                          [iterative groupby]
+      → prepare (doc_id, text)                  [stateless map_batches]
+      → signatures (doc_id, shingles)           [stateless map_batches]
+      → bands (doc_id, band_hash) exploded      [task pool + per-worker model cache]
+      → candidate pairs                         [coarse groupby(band_hash % P), salted]
+      → cross-band dedup + collision count      [coarse groupby(hash(pair) % P)]
+      → exact-Jaccard verify                    [zero-copy shard-ref gather, or
+                                                 2 hash joins above the size gate]
+      → union-find                              [driver fast path <= 2M edges,
+                                                 else star-contraction fixpoint]
       → clusters (doc_id, cluster_id)
 
 Decisions always come from exact Jaccard (>= tau), matching the reference's

@@ -18,8 +18,9 @@ in g.  The trade-off (some non-adjacent true pairs in a hot band are only
 connected transitively through the star center) is intentional and documented.
 
 Cross-band pair dedup + band-collision counting happens downstream in one
-``groupby(doc_a, doc_b).count()`` — the count is the reference's per-pair
-match count (Q1 / ArrayHitCounter.java:22-53 semantics).
+coarse-keyed shuffle + vectorized run-sum per partition — the count is the
+reference's per-pair match count (Q1 / ArrayHitCounter.java:22-53
+semantics).
 """
 
 from __future__ import annotations

@@ -2,9 +2,10 @@
 
     signatures(doc_id, shingles)
       → SimHashStage:        (doc_id, simhash large_binary[8*W])   [tasks]
-      → BitSampleBandStage:  (doc_id, band_hash) exploded          [actor pool]
+      → bitsample_bands_fn:  (doc_id, band_hash) exploded  [task pool + cache]
       → candidate_pairs (shared with the Jaccard path)
-      → verify_hamming_pairs: join on doc_id + packed popcount     [joins]
+      → verify_hamming_pairs: broadcast signatures + packed popcount
+        (hash joins above the size gate)
 
 Signatures are W = dims/64 little-endian uint64 lanes stored as a
 fixed-width binary column (Dataset.join rejects large_list payloads, and

@@ -4,8 +4,10 @@ Mirrors the reference's re-scoring contract: the final decision for every
 candidate uses the EXACT similarity computed from the stored vectors, never
 the approximate hash-collision count (HashingQuery.scala:23-38,
 MatchHashesAndScoreQuery.java:100-130).  The Lucene doc-values point lookup
-(StoredVecReader.scala:8-27) becomes a hash-partitioned ``Dataset.join`` of
-the pair table against the signatures table on each side's doc id.
+(StoredVecReader.scala:8-27) becomes, under the broadcast gate, a zero-copy
+object-store gather of just the candidate docs' signatures (shuffle-free
+verify), or a hash-partitioned ``Dataset.join`` on each side's doc id above
+the gate.
 """
 
 from __future__ import annotations
