@@ -275,6 +275,16 @@ def q_invalid_docs(sf_dir: str):
     )
 
 
+def q_dedup_decisions(sf_dir: str):
+    """End-product keep/drop decision per doc (exact > near > substring
+    priority; pipelines/decide.py).  Rows-only driver check; semantics pinned
+    in tests/test_decide.py."""
+    from elastiknn_ray.pipelines.decide import dedup_decisions
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_decisions(docs, DOCS_DEDUP_CFG, num_partitions=8)
+
+
 def q_quality_counts(sf_dir: str):
     """Integer surface statistics per doc (text/analysis.py quality_counts) —
     every count mirrored exactly in the DuckDB oracle."""
@@ -734,6 +744,7 @@ QUERIES = {
     "simhash_clusters": q_simhash_clusters,
     "substring_spans": q_substring_spans,
     "substring_dedup_docs": q_substring_dedup_docs,
+    "dedup_decisions": q_dedup_decisions,
     "invalid_docs": q_invalid_docs,
     "quality_counts": q_quality_counts,
     "lang_id": q_lang_id,
