@@ -45,7 +45,15 @@ def _drop_exact(docs):
     agg = hashed.groupby("content_hash").aggregate(
         Min("doc_id", alias_name="keep_id"), Count(alias_name="n")
     )
-    multi = agg.filter(expr="n > 1").select_columns(["content_hash", "keep_id"])
+    # an empty right side loses its schema through the shuffle and breaks the
+    # acero join — duplicate content groups are rare by nature, so pin + gate
+    multi = agg.filter(expr="n > 1").select_columns(
+        ["content_hash", "keep_id"]
+    ).materialize()
+    if multi.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
     j = hashed.join(
         multi, join_type="inner", num_partitions=8, on=("content_hash",)
     )
