@@ -165,3 +165,74 @@ def test_winnow_guarantee(prefix, suffix, common):
     fa = set(ha[winnow_select(ha, g)].tolist())
     fb = set(hb[winnow_select(hb, g)].tolist())
     assert fa & fb
+
+
+import pyarrow as pa
+
+from elastiknn_ray.config import ShingleConfig
+from elastiknn_ray.stages.cosine_lsh import decode_f32, encode_f32
+from elastiknn_ray.stages.hashing import decode_u64_lists, encode_u64_lists
+from elastiknn_ray.stages.simhash import decode_sigs, encode_sigs
+from elastiknn_ray.text.shingle import shingle_batch
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 2**63 - 1), min_size=0, max_size=20),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_u64_list_codec_roundtrip(lists):
+    offsets, values = _ragged(lists)
+    col = encode_u64_lists(offsets, values)
+    # roundtrip through a slice too (arrow offset handling)
+    for arr in (col, col.slice(1) if len(col) > 1 else col):
+        off2, val2 = decode_u64_lists(arr)
+        n0 = len(col) - len(arr)
+        expect = lists[n0:]
+        assert len(off2) == len(expect) + 1
+        for i, x in enumerate(expect):
+            assert val2[off2[i] : off2[i + 1]].tolist() == [v for v in map(int, x)]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 3), st.integers(0, 2**32))
+def test_sig_codec_roundtrip(n, w, seed):
+    rng = np.random.default_rng(seed)
+    sig = rng.integers(0, 2**63, (n, w), dtype=np.int64).astype(np.uint64)
+    col = encode_sigs(sig)
+    out = decode_sigs(col)
+    assert (out == sig).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 10), st.integers(1, 16), st.integers(0, 2**32))
+def test_f32_codec_roundtrip(n, d, seed):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    out = decode_f32(encode_f32(m))
+    assert np.allclose(out, m.astype(np.float64))
+
+
+_WORDS_ST = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "e", "ff gg", ""]),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_WORDS_ST, min_size=1, max_size=6))
+def test_shingle_batch_equals_per_doc(doc_words):
+    """Batch shingling must equal per-document shingling (the global-window
+    masking at doc boundaries is exact) — including empty and short docs."""
+    texts = [" ".join(w) for w in doc_words]
+    cfg = ShingleConfig(k=3)
+    off_b, val_b = shingle_batch(texts, cfg)
+    for i, t in enumerate(texts):
+        off_1, val_1 = shingle_batch([t], cfg)
+        got = val_b[off_b[i] : off_b[i + 1]].tolist()
+        want = val_1[off_1[0] : off_1[1]].tolist()
+        assert got == want, (i, t)
