@@ -20,9 +20,8 @@ from elastiknn_ray.config import DedupConfig, JaccardLshConfig, ShingleConfig
 from elastiknn_ray.stages.components import connected_components
 from elastiknn_ray.stages.dedup import exact_dedup_groups, keep_first_in_group
 from elastiknn_ray.stages.hashing import SignatureStage, decode_u64_lists
-from elastiknn_ray.stages.knn import knn_exact, _to_matrix
+from elastiknn_ray.stages.knn import knn_exact
 from elastiknn_ray.stages.pairs import candidate_pairs
-from elastiknn_ray.stages.verify import verify_pairs
 
 #: operating config for the documents-table near-dup queries: at tau=0.5,
 #: P[pair at J=0.5 becomes a candidate] = 1-(1-0.5^3)^64 ≈ 0.9998 >= 0.99.
