@@ -922,8 +922,9 @@ ORACLE_SQL = {
         ),
         s AS (
           SELECT user_id, event_id, ts,
-                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) - 1 AS session_ix
+                 CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                     AS session_ix
           FROM o
         )
         SELECT user_id, session_ix, COUNT(*) AS n_events,
