@@ -12,28 +12,67 @@ Priority: exact > near > substring (a doc matching several reasons reports
 the strongest).  Output: (doc_id, keep: bool, reason: string) — reason
 "unique" for kept docs.
 
-Each path's drop set is orders of magnitude smaller than the corpus, so the
-composition broadcasts the (doc_id → reason) map and annotates in one
-streaming pass; above BROADCAST_DOC_LIMIT-scale drop sets the same
-composition runs as a left join on doc_id (the standard fallback used by the
-verify stages).
+Composition is pure dataflow (web-scale dup fractions make the drop set
+O(corpus), so nothing is collected on the driver): each path emits a
+``(doc_id, reason_rank)`` Dataset, the union is reduced with
+``groupby(doc_id).min(reason_rank)``, and the corpus is annotated either by
+a vectorized broadcast lookup (sorted id array + searchsorted, one ``ray.put``
+— only when the drop set fits under BROADCAST_DOC_LIMIT) or by a left-outer
+shuffle join on doc_id above that gate.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from elastiknn_ray.config import DedupConfig
 from elastiknn_ray.pipelines.near_dup import near_dup_pipeline
+from elastiknn_ray.stages.blocks import drop_empty_blocks
 from elastiknn_ray.stages.dedup import add_content_hash
 from elastiknn_ray.stages.substring import SubstringConfig, substring_spans
+from elastiknn_ray.stages.verify import BROADCAST_DOC_LIMIT
+
+#: reason_rank encoding; index 3 = not dropped.
+REASONS = ("exact", "near", "substring", "unique")
+_REASON_LOOKUP = pa.array(REASONS, pa.string())
+
+_DROP_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("reason_rank", pa.int64())]
+)
+
+
+def _ranked(ds, rank: int):
+    """Project any (doc_id, ...) Dataset to (doc_id, reason_rank=rank)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "reason_rank": pa.array(np.full(n, rank, np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _empty_drops():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "reason_rank": pa.array([], pa.int64()),
+            }
+        )
+    )
 
 
 def _drop_exact(docs):
     """(doc_id,) drop rows: non-representative members of content groups."""
-    from elastiknn_ray.stages.pairs import grouped_pair_count
-
     hashed = docs.map_batches(
         lambda b: add_content_hash(b).select(["doc_id", "content_hash"]),
         batch_format="pyarrow",
@@ -59,10 +98,124 @@ def _drop_exact(docs):
     )
     return j.map_batches(
         lambda t: t.filter(
-            pa.compute.not_equal(t.column("doc_id"), t.column("keep_id"))
+            pc.not_equal(t.column("doc_id"), t.column("keep_id"))
         ).select(["doc_id"]),
         batch_format="pyarrow",
     )
+
+
+def _drop_near(clusters):
+    """Cluster members that are not the (min-id) representative."""
+    return clusters.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t.column("doc_id"), t.column("cluster_id"))
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def _doc_byte_lengths(docs):
+    """(doc_id, blen): utf-8 byte length per doc — Arrow strings are utf-8,
+    so a zero-copy cast to binary + binary_length gives the byte count."""
+
+    def f(t: pa.Table) -> pa.Table:
+        blen = pc.binary_length(t.column("text").cast(pa.large_binary()))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "blen": blen.cast(pa.int64())}
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def _drop_substring(docs, spans, frac: float, num_partitions: int):
+    """Docs whose duplicate-span byte coverage exceeds ``frac`` of their
+    length.  Spans per doc are non-overlapping (merged upstream), so coverage
+    = sum(end - start); composed as groupby + join, never collected."""
+    from ray.data.aggregate import Sum
+
+    cov = spans.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "cov": pc.subtract(t.column("end"), t.column("start")).cast(
+                    pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = cov.groupby("doc_id").aggregate(Sum("cov", alias_name="cov")).materialize()
+    if agg.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    j = _doc_byte_lengths(docs).join(
+        drop_empty_blocks(agg),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+    def over(t: pa.Table) -> pa.Table:
+        c = t.column("cov").to_numpy(zero_copy_only=False).astype(np.float64)
+        L = t.column("blen").to_numpy(zero_copy_only=False).astype(np.float64)
+        m = (L > 0) & (c > frac * L)
+        return pa.table({"doc_id": t.column("doc_id").filter(pa.array(m))})
+
+    return j.map_batches(over, batch_format="pyarrow")
+
+
+def _annotate_broadcast(docs, ids: np.ndarray, ranks: np.ndarray):
+    """Vectorized broadcast annotate: one ray.put of (sorted ids, ranks);
+    per batch a searchsorted + take — no Python per-row work."""
+    import ray
+
+    order = np.argsort(ids, kind="stable")
+    ref = ray.put((ids[order], ranks[order]))
+
+    def annotate(t: pa.Table) -> pa.Table:
+        sids, sranks = ray.get(ref)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        rank = np.full(len(d), 3, np.int64)
+        if len(sids):
+            p = np.minimum(np.searchsorted(sids, d), len(sids) - 1)
+            hit = sids[p] == d
+            rank[hit] = sranks[p[hit]]
+        reasons = pc.take(_REASON_LOOKUP, pa.array(rank, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "keep": pa.array(rank == 3),
+                "reason": reasons,
+            }
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        annotate, batch_format="pyarrow"
+    )
+
+
+def _annotate_join(docs, drops, num_partitions: int):
+    """Shuffle-join annotate for drop sets above the broadcast gate."""
+    j = docs.select_columns(["doc_id"]).join(
+        drops,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+    def annotate(t: pa.Table) -> pa.Table:
+        rank = pc.fill_null(t.column("reason_rank"), 3).cast(pa.int64())
+        reasons = pc.take(_REASON_LOOKUP, rank)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "keep": pc.equal(rank, pa.scalar(3, pa.int64())),
+                "reason": reasons,
+            }
+        )
+
+    return j.map_batches(annotate, batch_format="pyarrow")
 
 
 def dedup_decisions(
@@ -74,90 +227,40 @@ def dedup_decisions(
     num_partitions: int = 8,
 ):
     """docs(doc_id, text) → (doc_id, keep, reason)."""
-    import ray
+    from ray.data.aggregate import Min
 
     sub_cfg = sub_cfg or SubstringConfig(num_partitions=num_partitions)
     docs = docs.materialize()
 
-    # --- collect the three (small) drop sets -------------------------------
-    exact_ids = set()
-    for b in _drop_exact(docs).iter_batches(batch_format="pyarrow"):
-        exact_ids.update(b.column("doc_id").to_pylist())
-
     res = near_dup_pipeline(docs, cfg, num_partitions=num_partitions)
-    near_ids = set()
-    for b in res.clusters.iter_batches(batch_format="pyarrow"):
-        for d, c in zip(
-            b.column("doc_id").to_pylist(), b.column("cluster_id").to_pylist()
-        ):
-            if d != c:  # cluster representative (min id) is kept
-                near_ids.add(d)
-
     spans = substring_spans(docs, sub_cfg)
-    cover: dict[int, int] = {}
-    for b in spans.iter_batches(batch_format="pyarrow"):
-        for d, s, e in zip(
-            b.column("doc_id").to_pylist(),
-            b.column("start").to_pylist(),
-            b.column("end").to_pylist(),
-        ):
-            cover[d] = cover.get(d, 0) + (e - s)
 
-    # byte lengths only for docs with spans (small)
-    span_docs = np.array(sorted(cover), dtype=np.int64)
-    ref_ids = ray.put(span_docs)
-
-    def lens_batch(t: pa.Table) -> pa.Table:
-        ids = ray.get(ref_ids)
-        d = t.column("doc_id").to_numpy(zero_copy_only=False)
-        if len(ids) == 0:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "blen": pa.array([], pa.int64())}
-            )
-        p = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
-        m = ids[p] == d
-        texts = [
-            len((x or "").encode("utf-8"))
-            for x, keep in zip(t.column("text").to_pylist(), m.tolist())
-            if keep
-        ]
-        return pa.table(
-            {
-                "doc_id": pa.array(d[m], pa.int64()),
-                "blen": pa.array(texts, pa.int64()),
-            }
-        )
-
-    substr_ids = set()
-    for b in docs.map_batches(lens_batch, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for d, L in zip(b.column("doc_id").to_pylist(), b.column("blen").to_pylist()):
-            if L > 0 and cover.get(d, 0) / L > substring_frac:
-                substr_ids.add(d)
-
-    # --- one streaming annotation pass -------------------------------------
-    reason_map = {}
-    for d in substr_ids:
-        reason_map[d] = "substring"
-    for d in near_ids:
-        reason_map[d] = "near"
-    for d in exact_ids:
-        reason_map[d] = "exact"  # highest priority overwrites
-    map_ref = ray.put(reason_map)
-
-    def annotate(t: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
-        ids = t.column("doc_id").to_pylist()
-        reasons = [m.get(d, "unique") for d in ids]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "keep": pa.array([r == "unique" for r in reasons], pa.bool_()),
-                "reason": pa.array(reasons, pa.string()),
-            }
-        )
-
-    return docs.select_columns(["doc_id"]).map_batches(
-        annotate, batch_format="pyarrow"
+    drops = (
+        _ranked(_drop_exact(docs), 0)
+        .union(_ranked(_drop_near(res.clusters), 1))
+        .union(_ranked(_drop_substring(docs, spans, substring_frac, num_partitions), 2))
     )
+    # strongest reason per doc; materialize to gate the annotate strategy
+    # (the reduced set is (int64, int64) rows — tiny relative to the corpus)
+    agg = (
+        drops.groupby("doc_id")
+        .aggregate(Min("reason_rank", alias_name="reason_rank"))
+        .materialize()
+    )
+    n_drop = agg.count()
+    if n_drop == 0:
+        return _annotate_broadcast(
+            docs, np.array([], np.int64), np.array([], np.int64)
+        )
+    agg = drop_empty_blocks(agg)
+    if n_drop <= BROADCAST_DOC_LIMIT:
+        parts_i, parts_r = [], []
+        for b in agg.iter_batches(batch_format="pyarrow"):
+            parts_i.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+            parts_r.append(b.column("reason_rank").to_numpy(zero_copy_only=False))
+        return _annotate_broadcast(
+            docs,
+            np.concatenate(parts_i).astype(np.int64),
+            np.concatenate(parts_r).astype(np.int64),
+        )
+    return _annotate_join(docs, agg, num_partitions)

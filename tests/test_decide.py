@@ -63,3 +63,28 @@ def test_dedup_decisions_on_synth(ray_session):
     members = set(cl["doc_id"])
     dropped_near_exact = set(out[~out["keep"]]["doc_id"])
     assert (members - reps) <= dropped_near_exact
+
+
+def test_join_fallback_matches_broadcast(ray_session, monkeypatch):
+    """Above the broadcast gate the left-outer-join annotate path must be
+    byte-identical to the broadcast searchsorted path."""
+    import ray.data as rd
+
+    import elastiknn_ray.pipelines.decide as decide_mod
+    from elastiknn_ray.config import DedupConfig
+    from elastiknn_ray.sources.synth import pages_table
+    from elastiknn_ray.stages.hashing import prepare_batch
+
+    docs = rd.from_arrow(pages_table(200, 3)).map_batches(
+        prepare_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "text"])
+    a = decide_mod.dedup_decisions(docs, DedupConfig(), num_partitions=4).to_pandas()
+    monkeypatch.setattr(decide_mod, "BROADCAST_DOC_LIMIT", 0)
+    b = decide_mod.dedup_decisions(docs, DedupConfig(), num_partitions=4).to_pandas()
+
+    def canon(df):
+        return df.sort_values("doc_id").reset_index(drop=True)[
+            ["doc_id", "keep", "reason"]
+        ]
+
+    assert canon(a).equals(canon(b))
