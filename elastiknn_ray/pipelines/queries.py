@@ -371,6 +371,56 @@ def q_substring_dedup_docs(sf_dir: str):
     )
 
 
+def _doc_signatures(sf_dir: str, k: int | None = None):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        SignatureStage(ShingleConfig(k=k or SHINGLE_K)), batch_format="pyarrow"
+    )
+
+
+def q_knn_exact_jaccard(sf_dir: str):
+    """Sparse-bool kNN by exact Jaccard over k-shingle sets — the
+    reference's core use case (ElastiknnQueryBuilder.scala:38-92 with
+    ExactSimilarityFunction.Jaccard).  Queries = doc_id < 20, k = 5;
+    candidates restricted to docs sharing >= 1 shingle (inverted-index
+    retrieval semantics); integer rank output with (score desc,
+    neighbor_id) tie-break."""
+    from elastiknn_ray.stages.sparse_knn import gather_query_sets, knn_exact_sparse
+
+    sigs = _doc_signatures(sf_dir, KNN_SHINGLE_K).materialize()
+    qs = gather_query_sets(sigs, np.arange(20, dtype=np.int64))
+    out = knn_exact_sparse(sigs, qs, k=5, metric="jaccard")
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
+def q_knn_exact_hamming(sf_dir: str):
+    """Sparse-bool kNN by Hamming similarity over shingle sets
+    (ExactModel.java:19-23; ranking by symmetric-difference size — the
+    total_indices term cancels).  Same query wave / candidate rule as
+    q_knn_exact_jaccard."""
+    from elastiknn_ray.stages.sparse_knn import gather_query_sets, knn_exact_sparse
+
+    sigs = _doc_signatures(sf_dir, KNN_SHINGLE_K).materialize()
+    qs = gather_query_sets(sigs, np.arange(20, dtype=np.int64))
+    out = knn_exact_sparse(sigs, qs, k=5, metric="hamming")
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
+def q_knn_jaccard_lsh(sf_dir: str):
+    """Approximate Jaccard kNN via the full LSH read path (MinHash band
+    collisions → candidate cut → exact re-score; stages/sparse_knn.py).
+    Rows-only driver check; recall vs the exact path pinned in
+    tests/test_sparse_knn.py."""
+    from elastiknn_ray.stages.sparse_knn import gather_query_sets, knn_lsh_jaccard
+
+    sigs = _doc_signatures(sf_dir, KNN_SHINGLE_K).materialize()
+    qs = gather_query_sets(sigs, np.arange(20, dtype=np.int64))
+    out = knn_lsh_jaccard(
+        sigs, qs, k=5, lsh=JaccardLshConfig(L=128, k=1, seed=0), candidates=100
+    )
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
 # ---------------------------------------------------------------- embeddings
 
 EMB_COS_TAU = 0.35  # sf tables: max pairwise cos ~0.48; 0.35 yields a few hundred pairs
@@ -753,6 +803,9 @@ QUERIES = {
     "knn_exact_cosine": q_knn_exact_cosine,
     "knn_exact_l2": q_knn_exact_l2,
     "knn_exact_l1": q_knn_exact_l1,
+    "knn_exact_jaccard": q_knn_exact_jaccard,
+    "knn_exact_hamming": q_knn_exact_hamming,
+    "knn_jaccard_lsh": q_knn_jaccard_lsh,
     "knn_filtered_cosine": q_knn_filtered_cosine,
     "knn_lsh_cosine": q_knn_lsh_cosine,
     "knn_ivf_cosine": q_knn_ivf_cosine,
@@ -774,13 +827,16 @@ QUERIES = {
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 _TOKS_LOWER = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
-_SHINGLE_CTE = f"""
+def _shingle_cte(k: int) -> str:
+    """DuckDB CTE mirroring SignatureStage's k-word shingling for any k."""
+    expr = " || ' ' || ".join(
+        ["w"] + [f"lead(w,{i}) OVER win" for i in range(1, k)]
+    )
+    return f"""
 d AS (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS rn FROM d),
 sh AS (
-  SELECT doc_id,
-         w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
-           || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win AS s
+  SELECT doc_id, {expr} AS s
   FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY rn)
 ),
 sd AS (SELECT DISTINCT doc_id, s FROM sh WHERE s IS NOT NULL),
@@ -795,6 +851,14 @@ pairs AS (
   FROM isec JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 )
 """
+
+
+_SHINGLE_CTE = _shingle_cte(5)
+
+#: the sparse-kNN entries shingle at k=3 — the 5-shingle sharing graph of
+#: the synthetic corpus is too sparse to exercise real ranking competition.
+_SHINGLE_CTE_K3 = _shingle_cte(3)
+KNN_SHINGLE_K = 3
 
 ORACLE_SQL = {
     "token_counts": f"SELECT doc_id, length({_TOKS}) AS n_tokens FROM documents",
@@ -816,6 +880,39 @@ ORACLE_SQL = {
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
         FROM documents GROUP BY text""",
     "exact_shingle_pairs": f"WITH {_SHINGLE_CTE} SELECT * FROM pairs",
+    "knn_exact_jaccard": f"""
+        WITH {_SHINGLE_CTE_K3},
+        dp AS (
+          SELECT doc_a AS query_id, doc_b AS neighbor_id, isec,
+                 size_a AS qsize, size_b AS nsize
+          FROM pairs WHERE doc_a < 20
+          UNION ALL
+          SELECT doc_b, doc_a, isec, size_b, size_a
+          FROM pairs WHERE doc_b < 20
+        ),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY CAST(isec AS DOUBLE) / (qsize + nsize - isec)
+                                DESC, neighbor_id) AS rank
+              FROM dp)
+        SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""",
+    "knn_exact_hamming": f"""
+        WITH {_SHINGLE_CTE_K3},
+        dp AS (
+          SELECT doc_a AS query_id, doc_b AS neighbor_id, isec,
+                 size_a AS qsize, size_b AS nsize
+          FROM pairs WHERE doc_a < 20
+          UNION ALL
+          SELECT doc_b, doc_a, isec, size_b, size_a
+          FROM pairs WHERE doc_b < 20
+        ),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY qsize + nsize - 2 * isec, neighbor_id) AS rank
+              FROM dp)
+        SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""",
     "dup_clusters_exact": f"""
         WITH RECURSIVE {_SHINGLE_CTE},
         edges AS (SELECT doc_a, doc_b FROM pairs WHERE 3*isec >= size_a + size_b),

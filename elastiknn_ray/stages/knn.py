@@ -149,6 +149,90 @@ def knn_exact_metric(embeddings, query_ids_matrix: dict, k: int, metric: str):
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+class QueryHashIndex:
+    """Sorted flat query-band-hash table with equal-key run lengths — the
+    engine's analogue of seeking the query's terms in the postings dict
+    (MatchHashesAndScoreQuery.java:52-85), shared by the dense and sparse
+    LSH read paths.  A hash value can be shared by several queries, so each
+    run start stores the run length; searchsorted-left always lands on a
+    run start."""
+
+    def __init__(self, query_ids: np.ndarray, query_hashes: np.ndarray, *, _flat=None, _owner=None):
+        self.query_ids = np.asarray(query_ids, dtype=np.int64)
+        if _flat is None:
+            _flat = np.ascontiguousarray(query_hashes).reshape(-1)
+            _owner = np.repeat(np.arange(len(self.query_ids)), query_hashes.shape[1])
+        flat, owner = _flat, _owner
+        order = np.argsort(flat, kind="stable")
+        self.flat_sorted = flat[order]
+        self.owner_sorted = owner[order]
+        run_starts = np.flatnonzero(
+            np.r_[True, self.flat_sorted[1:] != self.flat_sorted[:-1]]
+        )
+        self.run_len_at = np.zeros(len(self.flat_sorted), dtype=np.int64)
+        self.run_len_at[run_starts] = np.diff(
+            np.r_[run_starts, len(self.flat_sorted)]
+        )
+
+    @classmethod
+    def from_ragged(cls, query_ids, offsets: np.ndarray, values: np.ndarray):
+        """Build from ragged per-query hash lists (offsets/values layout) —
+        the sparse-set form where each query owns a variable-length sorted
+        shingle/band list."""
+        owner = np.repeat(
+            np.arange(len(offsets) - 1), np.diff(offsets)
+        )
+        return cls(query_ids, None, _flat=np.ascontiguousarray(values), _owner=owner)
+
+    def expand_indices(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Flat corpus values → (query_index, input_row) per collision, where
+        query_index indexes ``query_ids`` and input_row indexes ``hashes``."""
+        if len(self.flat_sorted) == 0 or len(hashes) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        pos = np.minimum(
+            np.searchsorted(self.flat_sorted, hashes), len(self.flat_sorted) - 1
+        )
+        hit = self.flat_sorted[pos] == hashes
+        rows = np.flatnonzero(hit)
+        hpos = pos[rows]
+        counts = self.run_len_at[hpos]
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        within_starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=within_starts[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(within_starts, counts)
+        owner_ix = np.repeat(hpos, counts) + within
+        return self.owner_sorted[owner_ix], np.repeat(rows, counts)
+
+    def expand(self, hashes: np.ndarray, doc_of_row: np.ndarray) -> pa.Table:
+        """(flat corpus band hashes, owning doc per row) → exploded
+        (query_id, neighbor_id) collision rows."""
+        q_ix, rows = self.expand_indices(hashes)
+        return pa.table(
+            {
+                "query_id": pa.array(self.query_ids[q_ix], pa.int64()),
+                "neighbor_id": pa.array(doc_of_row[rows], pa.int64()),
+            }
+        )
+
+
+def topk_per_query(scored, k: int, *, exclude_self: bool = True):
+    """(query_id, neighbor_id, score) → (query_id, rank, neighbor_id, score)
+    global per-query top-k with the deterministic (-score, neighbor_id)
+    tie-break — the final merge every kNN path shares."""
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "neighbor_id", "score"]]
+
+    return scored.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 def build_cosine_band_index(embeddings, lsh):
     """Materialized exploded (doc_id, band_hash) corpus index — the engine's
     analogue of the reference's Lucene hash postings (HashingQuery.index,
@@ -197,52 +281,16 @@ def knn_lsh_cosine(
 
     planes = derive_hyperplanes(lsh).planes.astype(np.float64)
     qh = hyperplane_band_hashes(qm, planes, lsh.L, lsh.k)  # (Q, L)
-    # sorted flat query-hash table for vectorized membership tests; a hash
-    # value can be shared by several queries -> precompute equal-key run
-    # lengths at each run start (searchsorted-left always lands on a start)
-    flat = qh.reshape(-1)
-    owner = np.repeat(np.arange(len(query_ids)), lsh.L)
-    order = np.argsort(flat, kind="stable")
-    flat_sorted, owner_sorted = flat[order], owner[order]
-    run_starts = np.flatnonzero(np.r_[True, flat_sorted[1:] != flat_sorted[:-1]])
-    run_len_at = np.zeros(len(flat_sorted), dtype=np.int64)
-    run_len_at[run_starts] = np.diff(np.r_[run_starts, len(flat_sorted)])
-
-    def _expand_hits(b: np.ndarray, doc_of_row: np.ndarray) -> pa.Table:
-        pos = np.minimum(np.searchsorted(flat_sorted, b), len(flat_sorted) - 1)
-        hit = flat_sorted[pos] == b
-        rows = np.flatnonzero(hit)
-        hpos = pos[rows]
-        counts = run_len_at[hpos]
-        total = int(counts.sum())
-        if total == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                }
-            )
-        within_starts = np.zeros(len(counts), dtype=np.int64)
-        np.cumsum(counts[:-1], out=within_starts[1:])
-        within = np.arange(total, dtype=np.int64) - np.repeat(within_starts, counts)
-        owner_ix = np.repeat(hpos, counts) + within
-        out_q = query_ids[owner_sorted[owner_ix]]
-        out_d = np.repeat(doc_of_row[rows], counts)
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_d, pa.int64()),
-            }
-        )
+    qindex = QueryHashIndex(query_ids, qh)
 
     def count_hits(batch: pa.Table) -> pa.Table:
         m = _to_matrix(batch.column("embedding"))
         ids = batch.column("vec_id").to_numpy()
         bh = hyperplane_band_hashes(m, planes, lsh.L, lsh.k)  # (N, L)
-        return _expand_hits(bh.reshape(-1), np.repeat(ids, lsh.L))
+        return qindex.expand(bh.reshape(-1), np.repeat(ids, lsh.L))
 
     def count_hits_index(batch: pa.Table) -> pa.Table:
-        return _expand_hits(
+        return qindex.expand(
             batch.column("band_hash").to_numpy(zero_copy_only=False),
             batch.column("doc_id").to_numpy(zero_copy_only=False),
         )
