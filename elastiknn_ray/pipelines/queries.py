@@ -44,17 +44,17 @@ def _read(sf_dir: str, table: str, columns=None):
 # ---------------------------------------------------------------- documents
 
 def q_token_counts(sf_dir: str):
-    """Token counting (text-analysis op): whitespace tokens per doc."""
+    """Token counting (text-analysis op): whitespace tokens per doc — one
+    RE2 C scan per batch (a token is a maximal \\S+ run, exactly the
+    oracle's split-and-drop-empties)."""
 
     def f(batch: pa.Table) -> pa.Table:
-        n = np.fromiter(
-            (len(t.split()) for t in batch.column("text").to_pylist()),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
-        return pa.table(
-            {"doc_id": batch.column("doc_id"), "n_tokens": pa.array(n, pa.int64())}
-        )
+        import pyarrow.compute as pc
+
+        n = pc.count_substring_regex(
+            pc.fill_null(batch.column("text"), ""), r"\S+"
+        ).cast(pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"), "n_tokens": n})
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
@@ -68,20 +68,16 @@ TOKEN_REGEX = r"\w+|[^\w\s]"
 
 
 def q_token_counts_regex(sf_dir: str):
-    """Token counting, regex mode (word runs + punctuation marks)."""
-    import re
-
-    pat = re.compile(TOKEN_REGEX, re.UNICODE)
+    """Token counting, regex mode (word runs + punctuation marks) — RE2
+    count_substring_regex, the same engine the DuckDB oracle uses."""
 
     def f(batch: pa.Table) -> pa.Table:
-        n = np.fromiter(
-            (len(pat.findall(t or "")) for t in batch.column("text").to_pylist()),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
-        return pa.table(
-            {"doc_id": batch.column("doc_id"), "n_tokens": pa.array(n, pa.int64())}
-        )
+        import pyarrow.compute as pc
+
+        n = pc.count_substring_regex(
+            pc.fill_null(batch.column("text"), ""), TOKEN_REGEX
+        ).cast(pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"), "n_tokens": n})
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
@@ -89,19 +85,21 @@ def q_token_counts_regex(sf_dir: str):
 
 
 def q_doc_stats(sf_dir: str):
-    """Quality-scoring primitives: token count + total token length (ints)."""
+    """Quality-scoring primitives: token count + total token length.  The
+    sum of token lengths over \\S+ runs equals the count of non-whitespace
+    chars, so both stats are single RE2 scans."""
 
     def f(batch: pa.Table) -> pa.Table:
-        nt, st = [], []
-        for t in batch.column("text").to_pylist():
-            toks = t.split()
-            nt.append(len(toks))
-            st.append(sum(len(x) for x in toks))
+        import pyarrow.compute as pc
+
+        txt = pc.fill_null(batch.column("text"), "")
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_tokens": pa.array(np.array(nt, np.int64), pa.int64()),
-                "sum_token_len": pa.array(np.array(st, np.int64), pa.int64()),
+                "n_tokens": pc.count_substring_regex(txt, r"\S+").cast(pa.int64()),
+                "sum_token_len": pc.count_substring_regex(txt, r"\S").cast(
+                    pa.int64()
+                ),
             }
         )
 
@@ -290,7 +288,7 @@ def q_quality_counts(sf_dir: str):
     from elastiknn_ray.text.analysis import quality_counts
 
     def f(batch: pa.Table) -> pa.Table:
-        counts = quality_counts(batch.column("text").to_pylist())
+        counts = quality_counts(batch.column("text"))
         cols = {"doc_id": batch.column("doc_id")}
         cols.update({k: pa.array(v, pa.int64()) for k, v in counts.items()})
         return pa.table(cols)

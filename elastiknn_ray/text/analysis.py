@@ -76,34 +76,74 @@ def language_id(texts: list[str]) -> tuple[list[str], np.ndarray]:
 
 _PUNCT = frozenset(".,;:!?'\"()[]{}-–—…/\\")
 
+#: RE2 char class matching exactly the ``_PUNCT`` set (and the DuckDB
+#: oracle's class in pipelines/queries.py).
+_PUNCT_RE = r"[\].,;:!?'\"(){}\[\-–—…/\\]"
 
-def quality_counts(texts: list[str]) -> dict[str, np.ndarray]:
+
+def quality_counts(texts) -> dict[str, np.ndarray]:
     """Integer surface statistics per text (SQL-expressible; the DuckDB
     oracle mirrors each count): n_chars, n_tokens, n_unique_tokens,
-    n_alpha_chars, n_digit_chars, n_punct_chars, max_token_len."""
-    n = len(texts)
-    out = {
-        k: np.zeros(n, dtype=np.int64)
-        for k in (
-            "n_chars",
-            "n_tokens",
-            "n_unique_tokens",
-            "n_alpha_chars",
-            "n_digit_chars",
-            "n_punct_chars",
-            "max_token_len",
+    n_alpha_chars, n_digit_chars, n_punct_chars, max_token_len.
+
+    Accepts a list[str] or an Arrow string column.  All counts run as
+    Arrow RE2 C kernels (count_substring_regex / utf8_length); the two
+    per-token stats (distinct count, max length) flatten the token lists
+    once and reduce with factorize + bincount — no per-row Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    else:
+        arr = pa.array(["" if t is None else t for t in texts], pa.string())
+    arr = pc.fill_null(arr, "")
+    n = len(arr)
+
+    def _count(pattern: str) -> np.ndarray:
+        return (
+            pc.count_substring_regex(arr, pattern)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
         )
+
+    out = {
+        "n_chars": pc.utf8_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False),
+        "n_tokens": _count(r"\S+"),
+        "n_alpha_chars": _count(r"\p{L}"),
+        "n_digit_chars": _count(r"\p{Nd}"),
+        "n_punct_chars": _count(_PUNCT_RE),
     }
-    for i, t in enumerate(texts):
-        t = t or ""
-        out["n_chars"][i] = len(t)
-        toks = t.split()
-        out["n_tokens"][i] = len(toks)
-        out["n_unique_tokens"][i] = len(set(toks))
-        out["max_token_len"][i] = max((len(x) for x in toks), default=0)
-        out["n_alpha_chars"][i] = sum(c.isalpha() for c in t)
-        out["n_digit_chars"][i] = sum(c.isdigit() for c in t)
-        out["n_punct_chars"][i] = sum(c in _PUNCT for c in t)
+
+    toks = pc.utf8_split_whitespace(arr)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # slice the flat values to this array's logical window before aligning
+    flat = toks.values.slice(offsets[0], offsets[-1] - offsets[0])
+    offsets = offsets - offsets[0]
+    lens = pc.utf8_length(flat).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    doc_of_tok = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    nonempty = lens > 0  # the splitter emits '' tokens at string edges
+    d_ne, l_ne = doc_of_tok[nonempty], lens[nonempty]
+
+    max_len = np.zeros(n, dtype=np.int64)
+    np.maximum.at(max_len, d_ne, l_ne)
+    out["max_token_len"] = max_len
+
+    uniq = np.zeros(n, dtype=np.int64)
+    if len(d_ne):
+        import pandas as pd
+
+        codes, uniques = pd.factorize(
+            flat.to_numpy(zero_copy_only=False)[nonempty], sort=False
+        )
+        key = d_ne * (len(uniques) + 1) + codes
+        ukey = np.unique(key)
+        uniq = np.bincount(
+            (ukey // (len(uniques) + 1)).astype(np.int64), minlength=n
+        ).astype(np.int64)
+    out["n_unique_tokens"] = uniq
     return out
 
 
