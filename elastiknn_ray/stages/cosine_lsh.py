@@ -317,13 +317,30 @@ class BroadcastCosinePairs:
 
 def cosine_dup_pairs_exact(embeddings, tau_cos: float, *, concurrency=(1, 8)):
     """All (vec_a < vec_b) pairs with cosine >= tau_cos, via broadcast
-    brute force.  O(n^2) scores but only threshold-passing pairs move."""
+    brute force.  O(n^2) scores but only threshold-passing pairs move.
+
+    The corpus matrix is broadcast ONCE (ray.put) and the accumulation
+    streams ``iter_batches`` — the driver holds exactly one bounded copy.
+    Gated at BROADCAST_EMB_LIMIT: above it this O(n^2) oracle path is the
+    wrong tool (use the LSH path), so it errors instead of OOMing."""
     import ray
 
-    df = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
+    embeddings = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    n = embeddings.count()
+    if n > BROADCAST_EMB_LIMIT:
+        raise ValueError(
+            f"cosine_dup_pairs_exact is the brute-force oracle path; corpus "
+            f"has {n} vectors > BROADCAST_EMB_LIMIT={BROADCAST_EMB_LIMIT}. "
+            "Use the LSH candidate path (cosine_bands_fn + candidate_pairs + "
+            "verify_cosine_pairs) at this scale."
+        )
+    ids_parts, mat_parts = [], []
+    for b in embeddings.iter_batches(batch_format="pyarrow"):
+        ids_parts.append(b.column("vec_id").to_numpy(zero_copy_only=False))
+        mat_parts.append(_to_matrix(b.column("embedding")))
     corpus = {
-        "ids": df["vec_id"].to_numpy(),
-        "matrix": np.array(df["embedding"].tolist(), dtype=np.float64),
+        "ids": np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64),
+        "matrix": np.vstack(mat_parts) if mat_parts else np.empty((0, 0)),
     }
     ref = ray.put(corpus)
     return embeddings.map_batches(

@@ -89,30 +89,30 @@ def knn_ivf_cosine(
     sample = np.array(sample_df["embedding"].tolist(), dtype=np.float64)
     cents = train_centroids(sample, n_cells, seed=seed)
 
-    # per query: the nprobe nearest cells
+    # per query: the nprobe nearest cells, as a (Q, n_cells) boolean lookup
+    # indexed by cell id — probe membership is one fancy-index per batch
     probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
-    probe_sets = [frozenset(map(int, row)) for row in probe]
+    probed_lut = np.zeros((len(query_ids), len(cents)), dtype=bool)
+    probed_lut[np.arange(len(query_ids))[:, None], probe] = True
 
     def scan(batch: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(batch.column("embedding")))
         ids = batch.column("vec_id").to_numpy()
         cell = (m @ cents.T).argmax(axis=1)
-        scores = 1.0 + qm @ m.T  # (Q, B)
+        mask = probed_lut[:, cell]  # (Q, B) — mask BEFORE scoring
         out_q, out_n, out_s = [], [], []
-        kk = min(k + 1, m.shape[0])
         for qi in range(len(query_ids)):
-            mask = np.fromiter(
-                (int(c) in probe_sets[qi] for c in cell), dtype=bool, count=len(cell)
-            )
-            if not mask.any():
+            cand = np.flatnonzero(mask[qi])
+            if len(cand) == 0:
                 continue
-            cand = np.flatnonzero(mask)
-            s = scores[qi, cand]
-            top = cand[np.argpartition(-s, min(kk, len(cand)) - 1)[: kk]]
-            top = top[ids[top] != query_ids[qi]]
-            out_q.append(np.full(len(top), query_ids[qi], dtype=np.int64))
-            out_n.append(ids[top])
-            out_s.append(scores[qi, top])
+            s = 1.0 + m[cand] @ qm[qi]  # score only probed-cell rows
+            kk = min(k + 1, len(cand))
+            top_local = np.argpartition(-s, kk - 1)[:kk]
+            keep = ids[cand[top_local]] != query_ids[qi]
+            top_local = top_local[keep]
+            out_q.append(np.full(len(top_local), query_ids[qi], dtype=np.int64))
+            out_n.append(ids[cand[top_local]])
+            out_s.append(s[top_local])
         if not out_q:
             return pa.table(
                 {
