@@ -541,6 +541,48 @@ def q_knn_ivf_cosine(sf_dir: str):
     return out.select_columns(["query_id", "rank", "neighbor_id"])
 
 
+def q_knn_perm_cosine(sf_dir: str):
+    """Permutation-LSH kNN with FREQ-CAPPED match counting (min(freq_q,
+    freq_d) per term — ArrayHitCounter.java:34-41) + exact cosine re-score.
+    Rows-only driver check; counting semantics pinned against the
+    reference's behavioral example in tests/test_knn.py."""
+    from elastiknn_ray.config import PermutationLshConfig
+    from elastiknn_ray.stages.knn import knn_perm_cosine
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    q = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
+    qm = np.array(q["embedding"].tolist(), dtype=np.float64)
+    out = knn_perm_cosine(
+        emb,
+        {"ids": q["vec_id"].to_numpy(), "matrix": qm},
+        k=5,
+        perm=PermutationLshConfig(k=16, repeating=True),
+        candidates=100,
+    )
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
+def q_knn_l2_lsh(sf_dir: str):
+    """L2-LSH kNN with query-side multiprobe (probes=3, the reference's
+    ann-benchmarks config shape).  Rows-only driver check; the
+    recall-rises-with-probes property is pinned in tests/test_knn.py."""
+    from elastiknn_ray.config import L2LshConfig
+    from elastiknn_ray.stages.knn import knn_l2_lsh
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    q = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
+    qm = np.array(q["embedding"].tolist(), dtype=np.float64)
+    out = knn_l2_lsh(
+        emb,
+        {"ids": q["vec_id"].to_numpy(), "matrix": qm},
+        k=5,
+        lsh=L2LshConfig(dims=qm.shape[1], L=32, k=4, w=4, seed=0),
+        probes=3,
+        candidates=100,
+    )
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
 def q_emb_l2_lsh_pairs(sf_dir: str):
     """L2-LSH candidate pairs + exact cosine verify over embeddings (H4
     no-probe path; rows-only driver check)."""
@@ -807,6 +849,8 @@ QUERIES = {
     "knn_filtered_cosine": q_knn_filtered_cosine,
     "knn_lsh_cosine": q_knn_lsh_cosine,
     "knn_ivf_cosine": q_knn_ivf_cosine,
+    "knn_perm_cosine": q_knn_perm_cosine,
+    "knn_l2_lsh": q_knn_l2_lsh,
     "emb_l2_lsh_pairs": q_emb_l2_lsh_pairs,
     "perm_hashes": q_perm_hashes,
     "image_features": q_image_features,

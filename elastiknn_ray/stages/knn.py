@@ -166,6 +166,7 @@ class QueryHashIndex:
         order = np.argsort(flat, kind="stable")
         self.flat_sorted = flat[order]
         self.owner_sorted = owner[order]
+        self.order = order  # co-sort per-entry payloads with this permutation
         run_starts = np.flatnonzero(
             np.r_[True, self.flat_sorted[1:] != self.flat_sorted[:-1]]
         )
@@ -184,11 +185,15 @@ class QueryHashIndex:
         )
         return cls(query_ids, None, _flat=np.ascontiguousarray(values), _owner=owner)
 
-    def expand_indices(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Flat corpus values → (query_index, input_row) per collision, where
-        query_index indexes ``query_ids`` and input_row indexes ``hashes``."""
+    def expand_full(
+        self, hashes: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Flat corpus values → (query_index, input_row, flat_position) per
+        collision; flat_position indexes the sorted query-entry arrays (use
+        it to look up per-entry payloads such as term frequencies)."""
+        e = np.empty(0, np.int64)
         if len(self.flat_sorted) == 0 or len(hashes) == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
+            return e, e, e
         pos = np.minimum(
             np.searchsorted(self.flat_sorted, hashes), len(self.flat_sorted) - 1
         )
@@ -198,12 +203,18 @@ class QueryHashIndex:
         counts = self.run_len_at[hpos]
         total = int(counts.sum())
         if total == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
+            return e, e, e
         within_starts = np.zeros(len(counts), dtype=np.int64)
         np.cumsum(counts[:-1], out=within_starts[1:])
         within = np.arange(total, dtype=np.int64) - np.repeat(within_starts, counts)
         owner_ix = np.repeat(hpos, counts) + within
-        return self.owner_sorted[owner_ix], np.repeat(rows, counts)
+        return self.owner_sorted[owner_ix], np.repeat(rows, counts), owner_ix
+
+    def expand_indices(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Flat corpus values → (query_index, input_row) per collision, where
+        query_index indexes ``query_ids`` and input_row indexes ``hashes``."""
+        q_ix, rows, _ = self.expand_full(hashes)
+        return q_ix, rows
 
     def expand(self, hashes: np.ndarray, doc_of_row: np.ndarray) -> pa.Table:
         """(flat corpus band hashes, owning doc per row) → exploded
@@ -315,11 +326,27 @@ def knn_lsh_cosine(
         ).head(candidates)
 
     cand = counts.groupby("query_id").map_groups(cut, batch_format="pandas")
-    cand = cand.materialize()
+    return rescore_cosine_topk(cand, embeddings, query_ids, qm, k)
 
-    # exact re-score of candidates only (Q3): candidate embedding blocks
-    # stay in the object store; rescore actors read them zero-copy (same
-    # shard-refs pattern as the verify stages)
+
+def rescore_cosine_topk(
+    cand,
+    embeddings,
+    query_ids: np.ndarray,
+    qm: np.ndarray,
+    k: int,
+    *,
+    metric: str = "cosine",
+):
+    """Exact re-score of candidate (query_id, neighbor_id) pairs + global
+    per-query top-k (Q3 of the read path, shared by every ANN variant).
+    ``metric``: "cosine" (score 1+cos) or "l2" (score 1/(1+dist),
+    ExactModel.java:26-28).  Candidate embedding blocks stay in the object
+    store; rescore actors read them zero-copy (same shard-refs pattern as
+    the verify stages)."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(metric)
+    cand = cand.materialize()
     cand_ids = np.unique(
         np.concatenate(
             [
@@ -344,14 +371,19 @@ def knn_lsh_cosine(
     hits_ds = (
         embeddings.map_batches(filt, batch_format="pyarrow").materialize()
     )
-    qnorms = np.linalg.norm(qm, axis=1, keepdims=True)
-    qnorms[qnorms == 0] = 1.0
-    qn = qm / qnorms
-    q_ref = ray.put({"ids": query_ids, "qn": qn})
+    if metric == "cosine":
+        qnorms = np.linalg.norm(qm, axis=1, keepdims=True)
+        qnorms[qnorms == 0] = 1.0
+        qmat = qm / qnorms
+    else:
+        qmat = np.asarray(qm, dtype=np.float64)
+    q_ref = ray.put({"ids": query_ids, "qm": qmat, "metric": metric})
 
     class _Rescore:
         def __init__(self, shard_refs, q_ref):
             tables = ray.get(list(shard_refs))
+            qd = ray.get(q_ref)
+            self.metric = qd["metric"]
             ids_parts, mats = [], []
             for t in tables:
                 if t.num_rows == 0:
@@ -363,14 +395,15 @@ def knn_lsh_cosine(
                 hmat = np.vstack(mats)
                 ho = np.argsort(hid, kind="stable")
                 self.hid = hid[ho]
-                norms = np.linalg.norm(hmat, axis=1, keepdims=True)
-                norms[norms == 0] = 1.0
-                self.hn = (hmat / norms)[ho]
+                if self.metric == "cosine":
+                    norms = np.linalg.norm(hmat, axis=1, keepdims=True)
+                    norms[norms == 0] = 1.0
+                    hmat = hmat / norms
+                self.hn = hmat[ho]
             else:
                 self.hid = np.empty(0, np.int64)
                 self.hn = np.empty((0, 0))
-            qd = ray.get(q_ref)
-            self.qn = qd["qn"]
+            self.qn = qd["qm"]
             qids = qd["ids"]
             self.q_sorted = np.sort(qids)
             self.q_perm = np.argsort(qids, kind="stable")
@@ -380,7 +413,11 @@ def knn_lsh_cosine(
             ni = t.column("neighbor_id").to_numpy(zero_copy_only=False)
             vix = np.searchsorted(self.hid, ni)
             qix = self.q_perm[np.searchsorted(self.q_sorted, qi)]
-            score = 1.0 + np.einsum("ij,ij->i", self.qn[qix], self.hn[vix])
+            if self.metric == "cosine":
+                score = 1.0 + np.einsum("ij,ij->i", self.qn[qix], self.hn[vix])
+            else:
+                d = self.qn[qix] - self.hn[vix]
+                score = 1.0 / (1.0 + np.sqrt(np.einsum("ij,ij->i", d, d)))
             return pa.table(
                 {
                     "query_id": pa.array(qi, pa.int64()),
@@ -408,3 +445,164 @@ def knn_lsh_cosine(
         return g[["query_id", "rank", "neighbor_id", "score"]]
 
     return scored.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def count_capped_hits(
+    corpus_rows,
+    qindex: "QueryHashIndex",
+    q_freq_sorted: np.ndarray,
+    *,
+    num_partitions: int = 16,
+):
+    """Freq-capped match counting (Q1, the freq>1 case): per (query term,
+    matching doc) the counter advances by min(freq_query, freq_doc) —
+    ArrayHitCounter.java:34-41 via MatchHashesAndScoreQuery.java:63-79.
+
+    ``corpus_rows`` is a Dataset of exploded (doc_id, hash, freq);
+    ``q_freq_sorted`` is the per-entry query freq co-sorted with
+    ``qindex.order``.  Returns (query_id, neighbor_id, hits).
+    """
+    from elastiknn_ray.stages.pairs import grouped_pair_count
+
+    def f(t: pa.Table) -> pa.Table:
+        h = t.column("hash").to_numpy(zero_copy_only=False)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        fd = t.column("freq").to_numpy(zero_copy_only=False)
+        q_ix, rows, flat_pos = qindex.expand_full(h)
+        contrib = np.minimum(q_freq_sorted[flat_pos], fd[rows])
+        return pa.table(
+            {
+                "query_id": pa.array(qindex.query_ids[q_ix], pa.int64()),
+                "neighbor_id": pa.array(d[rows], pa.int64()),
+                "hits": pa.array(contrib.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hits = corpus_rows.map_batches(f, batch_format="pyarrow", batch_size=65536)
+    return grouped_pair_count(
+        hits,
+        "query_id",
+        "neighbor_id",
+        count_col="hits",
+        cnt_col="hits",
+        num_partitions=num_partitions,
+    )
+
+
+def knn_perm_cosine(
+    embeddings,
+    query_ids_matrix: dict,
+    k: int,
+    *,
+    perm=None,
+    candidates: int = 100,
+):
+    """Permutation-LSH cosine kNN: corpus and queries hash to (hash, freq)
+    rows (PermutationLshModel.java:25-52), candidates are counted with the
+    FREQ-CAPPED counter (min(freq_q, freq_d) per term — what makes
+    PermutationLsh ranking correct), cut per query, exact-cosine re-scored.
+    """
+    from elastiknn_ray.config import PermutationLshConfig
+    from elastiknn_ray.stages.float_lsh import PermutationLshStage, permutation_hashes
+
+    query_ids = np.asarray(query_ids_matrix["ids"], dtype=np.int64)
+    qm = np.asarray(query_ids_matrix["matrix"], dtype=np.float64)
+    perm = perm or PermutationLshConfig(k=min(32, qm.shape[1]), repeating=True)
+
+    row_ix, enc, freq = permutation_hashes(qm, perm.k, perm.repeating)
+    qindex = QueryHashIndex(
+        query_ids, None, _flat=enc.view(np.uint64), _owner=row_ix
+    )
+    q_freq_sorted = freq[qindex.order]
+
+    corpus_rows = embeddings.map_batches(
+        PermutationLshStage(perm), batch_format="pyarrow", batch_size=4096
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                # view the signed encoding as uint64 so searchsorted agrees
+                # with the query index's key order
+                "hash": pa.array(
+                    t.column("hash").to_numpy(zero_copy_only=False).view(np.uint64),
+                    pa.uint64(),
+                ),
+                "freq": t.column("freq"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    counts = count_capped_hits(corpus_rows, qindex, q_freq_sorted)
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["hits", "neighbor_id"], ascending=[False, True]
+        ).head(candidates)
+
+    cand = counts.groupby("query_id").map_groups(cut, batch_format="pandas")
+    return rescore_cosine_topk(cand, embeddings, query_ids, qm, k)
+
+
+def knn_l2_lsh(
+    embeddings,
+    query_ids_matrix: dict,
+    k: int,
+    *,
+    lsh=None,
+    probes: int = 0,
+    candidates: int = 100,
+    num_partitions: int = 16,
+):
+    """L2-LSH kNN with query-side MULTIPROBE expansion (L2LshModel.java:84-134
+    after Qin et al. 2007 — the reference's published ann-benchmarks config
+    shape, ann-benchmarks/config.yml:20-22): each query contributes its L
+    unperturbed band hashes plus up to L*probes perturbed ones; candidates
+    are counted per band collision, cut per query, exact-L2 re-scored
+    (score = 1/(1+dist))."""
+    from elastiknn_ray.config import L2LshConfig
+    from elastiknn_ray.models.params import derive_l2
+    from elastiknn_ray.stages.float_lsh import l2_bands_fn, l2_probe_hashes
+    from elastiknn_ray.stages.pairs import grouped_pair_count
+
+    query_ids = np.asarray(query_ids_matrix["ids"], dtype=np.int64)
+    qm = np.asarray(query_ids_matrix["matrix"], dtype=np.float64)
+    lsh = lsh or L2LshConfig(dims=qm.shape[1], L=32, k=4, w=4, seed=0)
+    p = derive_l2(lsh)
+    a, b = p.A.astype(np.float64), p.B.astype(np.float64)
+
+    # query-side probe expansion (driver: Q small; the probe heap is
+    # inherently sequential per query)
+    per_q = [
+        l2_probe_hashes(qm[i], a, b, float(lsh.w), lsh.L, lsh.k, probes)
+        for i in range(len(query_ids))
+    ]
+    sizes = np.array([len(h) for h in per_q], dtype=np.int64)
+    offsets = np.zeros(len(per_q) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    values = np.concatenate(per_q) if per_q else np.empty(0, np.uint64)
+    qindex = QueryHashIndex.from_ragged(query_ids, offsets, values)
+
+    bands = embeddings.map_batches(
+        l2_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow",
+        batch_size=4096,
+    )
+    hits = bands.map_batches(
+        lambda t: qindex.expand(
+            t.column("band_hash").to_numpy(zero_copy_only=False),
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+        ),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    counts = grouped_pair_count(
+        hits, "query_id", "neighbor_id", count_col="n_bands",
+        num_partitions=num_partitions,
+    )
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["n_bands", "neighbor_id"], ascending=[False, True]
+        ).head(candidates)
+
+    cand = counts.groupby("query_id").map_groups(cut, batch_format="pandas")
+    return rescore_cosine_topk(cand, embeddings, query_ids, qm, k, metric="l2")

@@ -122,3 +122,118 @@ def test_ivf_assign_cells(ray_session):
     out = assign_cells(emb, cents).to_pandas()
     assert out["cell"].between(0, 7).all()
     assert out["cell"].nunique() > 1
+
+
+def test_count_capped_hits_reference_example(ray_session):
+    """The reference's behavioral counting example
+    (MatchHashesAndScoreQuerySuite.scala:64-95 "repeating terms"): query
+    terms [3,3,3,0,0,6] each freq 1 against doc0 {3:3, 8:2, 7:1} and doc1
+    {9:3, 6:2, 1:1} must count doc0=3, doc1=1."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elastiknn_ray.stages.knn import QueryHashIndex, count_capped_hits
+
+    enc = np.array([3, 3, 3, 0, 0, 6], dtype=np.int64)
+    freq = np.ones(6, dtype=np.int64)
+    qindex = QueryHashIndex(
+        np.array([100], np.int64), None,
+        _flat=enc.view(np.uint64), _owner=np.zeros(6, np.int64),
+    )
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 0, 0, 1, 1, 1], pa.int64()),
+                "hash": pa.array(
+                    np.array([3, 8, 7, 9, 6, 1], np.int64).view(np.uint64),
+                    pa.uint64(),
+                ),
+                "freq": pa.array([3, 2, 1, 3, 2, 1], pa.int64()),
+            }
+        )
+    )
+    out = count_capped_hits(corpus, qindex, freq[qindex.order]).to_pandas()
+    got = dict(zip(out["neighbor_id"], out["hits"]))
+    assert got == {0: 3, 1: 1}
+
+
+def test_count_capped_hits_freq_cap(ray_session):
+    """min(freq_q, freq_d) per term (ArrayHitCounter.java increment(key,
+    count)): query term freq 2 vs doc freq 3 contributes 2; query freq 5 vs
+    doc freq 1 contributes 1."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elastiknn_ray.stages.knn import QueryHashIndex, count_capped_hits
+
+    enc = np.array([3, 8], dtype=np.int64)
+    freq = np.array([2, 5], dtype=np.int64)
+    qindex = QueryHashIndex(
+        np.array([7], np.int64), None,
+        _flat=enc.view(np.uint64), _owner=np.zeros(2, np.int64),
+    )
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 0], pa.int64()),
+                "hash": pa.array(np.array([3, 8], np.int64).view(np.uint64), pa.uint64()),
+                "freq": pa.array([3, 1], pa.int64()),
+            }
+        )
+    )
+    out = count_capped_hits(corpus, qindex, freq[qindex.order]).to_pandas()
+    assert out["hits"].tolist() == [3]  # 2 + 1
+
+
+def test_knn_perm_cosine_recall_vs_exact(ray_session):
+    from elastiknn_ray.config import PermutationLshConfig
+    from elastiknn_ray.stages.knn import knn_exact, knn_perm_cosine
+
+    emb, m = _emb_ds()
+    q = {"ids": np.arange(10, dtype=np.int64), "matrix": m[:10].astype(np.float64)}
+    exact = knn_exact(emb, q, k=10).to_pandas()
+    approx = knn_perm_cosine(
+        emb, q, k=10, perm=PermutationLshConfig(k=16, repeating=True),
+        candidates=100,
+    ).to_pandas()
+    recalls = []
+    for qid in range(10):
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    mean_recall = float(np.mean(recalls))
+    # PermutationLsh ranks by top-|value| index overlap — on Gaussian data
+    # with k=16 of 32 dims and candidates=100/400 recall lands well above 0.5
+    assert mean_recall >= 0.5, recalls
+
+
+def test_knn_l2_lsh_recall_rises_with_probes(ray_session):
+    """Multiprobe property (mirrors L2LshSuite probe behavior): at fixed
+    (L, k, w), adding probes can only add candidates, so recall vs exact L2
+    is non-decreasing and strictly better at 9 probes than 0 on a tight-w
+    config."""
+    from elastiknn_ray.config import L2LshConfig
+    from elastiknn_ray.stages.knn import knn_exact_metric, knn_l2_lsh
+
+    emb, m = _emb_ds(n=400, dims=16, seed=9)
+    q = {"ids": np.arange(10, dtype=np.int64), "matrix": m[:10].astype(np.float64)}
+    exact = knn_exact_metric(emb, q, k=10, metric="l2").to_pandas()
+    lsh = L2LshConfig(dims=16, L=16, k=3, w=2, seed=0)
+
+    def recall(probes):
+        approx = knn_l2_lsh(
+            emb, q, k=10, lsh=lsh, probes=probes, candidates=50
+        ).to_pandas()
+        rs = []
+        for qid in range(10):
+            e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+            rs.append(len(e & a) / len(e))
+        return float(np.mean(rs))
+
+    r0, r3, r9 = recall(0), recall(3), recall(9)
+    assert r3 >= r0 - 1e-9 and r9 >= r3 - 1e-9, (r0, r3, r9)
+    assert r9 > r0, (r0, r9)
+    # tight-w stress config: per-band recall is deliberately low so probe
+    # gains dominate; the absolute level matters less than the monotone rise
+    assert r9 >= 0.35, (r0, r3, r9)
