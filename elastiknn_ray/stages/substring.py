@@ -206,8 +206,20 @@ def _merge_per_doc(t: pa.Table) -> pa.Table:
     )
 
 
+def min_merged_len(cfg: SubstringConfig) -> int:
+    """Post-merge length threshold that enforces ``min_len`` on the window
+    path without dropping true matches: winnowing selects a window start in
+    every ``guard``-length range, so a duplicated run of length R yields a
+    merged window-span extent >= R - 2*(guard-1).  Filtering merged spans
+    below ``min_len - 2*(guard-1)`` therefore keeps every true >= min_len
+    run while rejecting isolated short boilerplate windows (which merge to
+    ~``window`` bytes) — the min_len contract both paths now share."""
+    return max(cfg.window, cfg.min_len - 2 * (cfg.guard - 1))
+
+
 def substring_spans(docs, cfg: SubstringConfig | None = None):
-    """Union of both paths, merged per doc → (doc_id, start, end)."""
+    """Union of both paths, merged per doc, filtered to the shared
+    ``min_len`` contract → (doc_id, start, end)."""
     cfg = cfg or SubstringConfig()
     intra = intra_partition_spans(docs, cfg.min_len, cfg.num_partitions)
     cross = cross_partition_window_spans(docs, cfg)
@@ -221,72 +233,141 @@ def substring_spans(docs, cfg: SubstringConfig | None = None):
         ),
         batch_format="pyarrow",
     )
-    return keyed.groupby("part").map_groups(
+    merged = keyed.groupby("part").map_groups(
         lambda t: _merge_per_doc(t.drop_columns(["part"])), batch_format="pyarrow"
+    )
+    thresh = min_merged_len(cfg)
+    return merged.map_batches(
+        lambda t, th=thresh: t.filter(
+            pa.compute.greater_equal(
+                pa.compute.subtract(t.column("end"), t.column("start")),
+                pa.scalar(th, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _pack_spans_partition(t: pa.Table) -> pa.Table:
+    """One coarse-key partition of (doc_id, start, end) → (doc_id, spans)
+    with all of a doc's spans packed as interleaved (start, end) uint64
+    pairs in one large_binary cell — the same vectorized
+    lexsort-and-reduce shape every other grouped kernel uses."""
+    from elastiknn_ray.stages.hashing import encode_u64_lists
+
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    s = t.column("start").to_numpy(zero_copy_only=False).astype(np.int64)
+    e = t.column("end").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((s, ids))
+    ids, s, e = ids[order], s[order], e[order]
+    run_starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    counts = np.diff(np.r_[run_starts, len(ids)])
+    inter = np.empty(2 * len(s), dtype=np.uint64)
+    inter[0::2] = s.view(np.uint64)
+    inter[1::2] = e.view(np.uint64)
+    offsets = np.zeros(len(run_starts) + 1, dtype=np.int64)
+    np.cumsum(2 * counts, out=offsets[1:])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[run_starts], pa.int64()),
+            "spans": encode_u64_lists(offsets, inter),
+        }
     )
 
 
 def remove_spans(docs, spans, *, num_partitions: int = 8):
     """docs(doc_id, text) ⋈ spans → (doc_id, text) with duplicate byte ranges
-    cut out (docs without spans pass through unchanged)."""
-    agg = spans.map_batches(
-        lambda t: pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "span": pa.array(
-                    [
-                        f"{s}:{e}"
-                        for s, e in zip(
-                            t.column("start").to_pylist(), t.column("end").to_pylist()
-                        )
-                    ],
-                    pa.string(),
-                ),
-            }
+    cut out (docs without spans pass through unchanged).
+
+    Spans are grouped per doc by one coarse-keyed shuffle + vectorized pack
+    kernel (no per-row AggregateFn), left-joined onto docs, and the cut runs
+    on the batch's flat byte buffer with a single delete mask: only docs
+    that actually have spans are re-decoded."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from elastiknn_ray.stages.blocks import drop_empty_blocks
+    from elastiknn_ray.stages.hashing import decode_u64_lists
+
+    keyed = spans.map_batches(
+        lambda t, p=num_partitions: t.append_column(
+            "part",
+            pa.array(
+                t.column("doc_id").to_numpy(zero_copy_only=False) % p, pa.int64()
+            ),
         ),
         batch_format="pyarrow",
     )
-    from ray.data.aggregate import AggregateFn
-
-    # concatenate span tokens per doc (order-insensitive; cut positions sort)
-    import ray.data as rd
-
-    spans_per_doc = agg.groupby("doc_id").aggregate(
-        AggregateFn(
-            init=lambda k: "",
-            accumulate_row=lambda a, r: (a + "," + r["span"]) if a else r["span"],
-            merge=lambda a, b: (a + "," + b) if a and b else (a or b),
-            name="spanlist",
-        )
-    )
+    spans_per_doc = keyed.groupby("part").map_groups(
+        lambda t: _pack_spans_partition(t.drop_columns(["part"])),
+        batch_format="pyarrow",
+    ).materialize()
+    if spans_per_doc.count() == 0:
+        return docs.select_columns(["doc_id", "text"])
     joined = docs.join(
-        spans_per_doc,
+        drop_empty_blocks(spans_per_doc),
         join_type="left_outer",
         num_partitions=num_partitions,
         on=("doc_id",),
     )
 
     def cut(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        lists = t.column("spanlist").to_pylist()
-        out = []
-        for txt, sl in zip(texts, lists):
-            if not sl:
-                out.append(txt)
-                continue
-            b = (txt or "").encode("utf-8")
-            ivals = sorted(
-                tuple(map(int, tok.split(":"))) for tok in sl.split(",")
-            )
-            parts, cur = [], 0
-            for s, e in ivals:
-                if s > cur:
-                    parts.append(b[cur:s])
-                cur = max(cur, e)
-            parts.append(b[cur:])
-            out.append(b"".join(parts).decode("utf-8", errors="ignore"))
-        return pa.table(
-            {"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())}
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        spans_col = t.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        has = ~np.asarray(spans_col.is_null())
+        if not has.any():
+            return pa.table({"doc_id": t.column("doc_id"), "text": txt})
+        # flat byte view of the whole batch's texts (zero-copy cast)
+        b = txt.cast(pa.large_binary())
+        n = len(b)
+        boff = np.frombuffer(b.buffers()[1], dtype=np.int64)[
+            b.offset : b.offset + n + 1
+        ]
+        flat = np.frombuffer(b.buffers()[2], dtype=np.uint8)[boff[0] : boff[-1]]
+        boff = boff - boff[0]
+        # decode spans for rows that have them; clamp to each doc's length
+        so, sv = decode_u64_lists(spans_col.fill_null(b""))
+        starts_g, ends_g = [], []
+        rows = np.flatnonzero(has)
+        for r in rows:
+            pairs = sv[so[r] : so[r + 1]].view(np.int64)
+            doc_len = boff[r + 1] - boff[r]
+            s = np.minimum(pairs[0::2], doc_len) + boff[r]
+            e = np.minimum(pairs[1::2], doc_len) + boff[r]
+            starts_g.append(s)
+            ends_g.append(e)
+        delta = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.add.at(delta, np.concatenate(starts_g), 1)
+        np.add.at(delta, np.concatenate(ends_g), -1)
+        deleted = np.cumsum(delta[:-1]) > 0
+        keep = ~deleted
+        kept_flat = flat[keep]
+        # kept byte count per row -> new offsets into kept_flat
+        if len(flat):
+            # reduceat needs indices < len; trailing empty rows would point
+            # at len(flat) — clamp, then zero all empty rows explicitly
+            idx = np.minimum(boff[:-1], len(flat) - 1)
+            kept_per_row = np.add.reduceat(keep.astype(np.int64), idx)
+            kept_per_row = np.where(boff[1:] > boff[:-1], kept_per_row, 0)
+        else:
+            kept_per_row = np.zeros(n, np.int64)
+        new_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(kept_per_row, out=new_off[1:])
+        repl = pa.array(
+            [
+                kept_flat[new_off[r] : new_off[r + 1]]
+                .tobytes()
+                .decode("utf-8", errors="ignore")
+                for r in rows
+            ],
+            pa.string(),
         )
+        result = pc.replace_with_mask(txt, pa.array(has), repl)
+        return pa.table({"doc_id": t.column("doc_id"), "text": result})
 
     return joined.map_batches(cut, batch_format="pyarrow")

@@ -139,3 +139,47 @@ def test_adjacent_lcp_screening_mode_agrees_above_threshold():
     above = exact >= 100
     assert (fast[above] == exact[above]).all()
     assert (fast[~above] < 100).all()
+
+
+def test_window_path_enforces_min_len(ray_session):
+    """ADVICE fix: short shared boilerplate (>= window but << min_len) in
+    docs from DIFFERENT partitions must NOT accumulate coverage; a shared
+    run >= min_len must still be found cross-partition."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elastiknn_ray.stages.substring import SubstringConfig, substring_spans
+
+    rng = np.random.default_rng(5)
+
+    def rand_text(n):
+        return "".join(chr(97 + c) for c in rng.integers(0, 26, n))
+
+    cfg = SubstringConfig(min_len=200, window=64, guard=32, num_partitions=4)
+    short_boiler = rand_text(90)   # >= w+g-1=95? below min threshold anyway
+    long_dup = rand_text(400)      # >= min_len: must be caught
+    # doc ids 0 and 1: different cells of doc_id % 4?  0 % 4 != 1 % 4 — yes.
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 5], pa.int64()),
+                "text": pa.array(
+                    [
+                        rand_text(300) + short_boiler + rand_text(300),
+                        rand_text(310) + short_boiler + rand_text(290),
+                        rand_text(250) + long_dup + rand_text(250),
+                        rand_text(260) + long_dup + rand_text(240),
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = substring_spans(docs, cfg).to_pandas()
+    # the 90-byte boilerplate pair (docs 0, 1) yields no span
+    assert not set(out["doc_id"]) & {0, 1}, out
+    # the 400-byte duplicated run is found in the later occurrence (doc 5)
+    d5 = out[out["doc_id"] == 5]
+    assert len(d5) >= 1
+    assert (d5["end"] - d5["start"]).max() >= 200
