@@ -244,16 +244,198 @@ def topk_per_query(scored, k: int, *, exclude_self: bool = True):
     return scored.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
-def build_cosine_band_index(embeddings, lsh):
-    """Materialized exploded (doc_id, band_hash) corpus index — the engine's
-    analogue of the reference's Lucene hash postings (HashingQuery.index,
-    HashingQuery.scala:88-99).  Build once, query many times."""
+class CosineBandIndex:
+    """Materialized band postings + stored vectors — the engine's analogue
+    of a Lucene segment (postings dict + doc values; HashingQuery.index,
+    HashingQuery.scala:88-99, StoredVecReader.scala:8-27).  Build once,
+    query many times.
+
+    Invariant the fast read path relies on: ``bands`` blocks are
+    DOC-CONTIGUOUS (each doc's L exploded rows live in one block, the
+    direct output of one map_batches over the embedding blocks), so
+    per-block (query, doc) collision counts are COMPLETE — no cross-block
+    aggregation shuffle is needed before the candidate cut."""
+
+    def __init__(self, bands, lsh, vec_refs):
+        self.bands = bands
+        self.lsh = lsh
+        self.vec_refs = vec_refs
+
+
+def build_cosine_band_index(embeddings, lsh) -> CosineBandIndex:
+    """embeddings → CosineBandIndex.  The stored vectors stay in the object
+    store as the materialized embedding blocks' refs (one copy cluster-wide;
+    readers map them zero-copy)."""
     from elastiknn_ray.stages.cosine_lsh import cosine_bands_fn
 
-    return embeddings.map_batches(
+    emb = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    bands = emb.map_batches(
         cosine_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow",
         batch_size=4096,
     ).materialize()
+    return CosineBandIndex(bands=bands, lsh=lsh, vec_refs=emb.to_arrow_refs())
+
+
+#: worker-process cache of gathered stored vectors, keyed by the ref tuple:
+#: (sorted ids, normalized matrix) built once per worker, reused across
+#: query waves (the reference's per-node segment reader reuse).
+_VEC_CACHE: dict = {}
+
+
+def _gathered_vectors(vec_refs) -> tuple[np.ndarray, np.ndarray]:
+    key = tuple(r.hex() for r in vec_refs)
+    hit = _VEC_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tables = ray.get(list(vec_refs))
+    ids_parts, mats = [], []
+    for t in tables:
+        if t.num_rows == 0:
+            continue
+        ids_parts.append(t.column("vec_id").to_numpy(zero_copy_only=False))
+        mats.append(_to_matrix(t.column("embedding")))
+    if ids_parts:
+        ids = np.concatenate(ids_parts)
+        m = np.vstack(mats)
+        order = np.argsort(ids, kind="stable")
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        out = (ids[order], (m / norms)[order])
+    else:
+        out = (np.empty(0, np.int64), np.empty((0, 0)))
+    _VEC_CACHE.clear()  # hold at most one corpus per worker
+    _VEC_CACHE[key] = out
+    return out
+
+
+def _knn_lsh_cosine_indexed(
+    index: CosineBandIndex, query_ids: np.ndarray, qm: np.ndarray, k: int,
+    candidates: int,
+):
+    """Fast indexed read path: ONE pass over doc-contiguous band blocks
+    computing complete per-block (query, doc) collision counts + a partial
+    per-query cut, then a single per-query shuffle whose group UDF merges
+    the partials, cuts to ``candidates``, exact-re-scores against the
+    cached stored vectors and emits the top-k.  One shuffle total, and the
+    shuffled rows are already cut to O(blocks * Q * candidates)."""
+    from elastiknn_ray.models.params import derive_hyperplanes
+    from elastiknn_ray.stages.cosine_lsh import hyperplane_band_hashes
+
+    lsh = index.lsh
+    planes = derive_hyperplanes(lsh).planes.astype(np.float64)
+    qh = hyperplane_band_hashes(qm, planes, lsh.L, lsh.k)
+    qindex = QueryHashIndex(query_ids, qh)
+    qnorms = np.linalg.norm(qm, axis=1, keepdims=True)
+    qnorms[qnorms == 0] = 1.0
+    q_ref = ray.put({"ids": query_ids, "qn": qm / qnorms})
+    vec_refs = index.vec_refs
+
+    def count_cut(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        q_ix, rows = qindex.expand_indices(bh)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "n_bands": pa.array([], pa.int64()),
+            }
+        )
+        if len(q_ix) == 0:
+            return empty
+        udoc, local = np.unique(docs[rows], return_inverse=True)
+        key = q_ix * len(udoc) + local
+        ukey, cnt = np.unique(key, return_counts=True)
+        uq = ukey // len(udoc)
+        nb = udoc[ukey % len(udoc)]
+        # partial per-query cut (superset of the global cut)
+        order = np.lexsort((nb, -cnt, uq))
+        oq = uq[order]
+        starts = np.flatnonzero(np.r_[True, oq[1:] != oq[:-1]])
+        run_lens = np.diff(np.r_[starts, len(oq)])
+        within = np.arange(len(oq), dtype=np.int64) - np.repeat(starts, run_lens)
+        keep = order[within < candidates]
+        return pa.table(
+            {
+                "query_id": pa.array(qindex.query_ids[uq[keep]], pa.int64()),
+                "neighbor_id": pa.array(nb[keep], pa.int64()),
+                "n_bands": pa.array(cnt[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = index.bands.map_batches(
+        count_cut, batch_format="pyarrow", batch_size=None
+    )
+
+    # final merge: ONE coarse-keyed shuffle (~n_parts partitions, each
+    # handling many queries in one fully-vectorized kernel — no per-group
+    # Python), cut → rescore → top-k inside the kernel
+    n_parts = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part",
+            pa.array(
+                t.column("query_id").to_numpy(zero_copy_only=False)
+                % np.int64(n_parts),
+                pa.int64(),
+            ),
+        )
+
+    def _within_runs(keys: np.ndarray) -> np.ndarray:
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        run_lens = np.diff(np.r_[starts, len(keys)])
+        return np.arange(len(keys), dtype=np.int64) - np.repeat(starts, run_lens)
+
+    def merge_rescore_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        qi = t.column("query_id").to_numpy(zero_copy_only=False)
+        ni = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        nb = t.column("n_bands").to_numpy(zero_copy_only=False)
+        # merge partials + global per-query cut
+        order = np.lexsort((ni, -nb, qi))
+        keep = order[_within_runs(qi[order]) < candidates]
+        qi, ni = qi[keep], ni[keep]
+        # exact re-score against the cached stored vectors
+        ids_s, mat = _gathered_vectors(vec_refs)
+        qd = ray.get(q_ref)
+        q_sorted_ix = np.argsort(qd["ids"], kind="stable")
+        qix = q_sorted_ix[np.searchsorted(qd["ids"][q_sorted_ix], qi)]
+        vix = np.searchsorted(ids_s, ni)
+        score = 1.0 + np.einsum("ij,ij->i", qd["qn"][qix], mat[vix])
+        # self-exclusion + per-query top-k with (score desc, neighbor) ties
+        m = ni != qi
+        qi, ni, score = qi[m], ni[m], score[m]
+        order = np.lexsort((ni, -score, qi))
+        within = _within_runs(qi[order])
+        keep = order[within < k]
+        rank = within[within < k] + 1
+        return pa.table(
+            {
+                "query_id": pa.array(qi[keep], pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+                "neighbor_id": pa.array(ni[keep], pa.int64()),
+                "score": pa.array(score[keep], pa.float64()),
+            }
+        )
+
+    return (
+        partials.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda t: merge_rescore_topk(t.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def knn_lsh_cosine(
@@ -287,6 +469,8 @@ def knn_lsh_cosine(
 
     query_ids = np.asarray(query_ids_matrix["ids"], dtype=np.int64)
     qm = np.asarray(query_ids_matrix["matrix"], dtype=np.float64)
+    if isinstance(corpus_bands, CosineBandIndex):
+        return _knn_lsh_cosine_indexed(corpus_bands, query_ids, qm, k, candidates)
     lsh = lsh or CosineLshConfig(dims=qm.shape[1], L=32, k=8, seed=0)
     from elastiknn_ray.stages.cosine_lsh import hyperplane_band_hashes
 

@@ -237,3 +237,25 @@ def test_knn_l2_lsh_recall_rises_with_probes(ray_session):
     # tight-w stress config: per-band recall is deliberately low so probe
     # gains dominate; the absolute level matters less than the monotone rise
     assert r9 >= 0.35, (r0, r3, r9)
+
+
+def test_knn_lsh_indexed_matches_streaming_path(ray_session):
+    """The fast CosineBandIndex read path (per-block complete counts +
+    partial cut + in-group rescore) must return exactly what the streaming
+    path returns for the same config."""
+    import pandas as pd
+
+    from elastiknn_ray.config import CosineLshConfig
+    from elastiknn_ray.stages.knn import build_cosine_band_index, knn_lsh_cosine
+
+    emb, m = _emb_ds()
+    q = {"ids": np.arange(10, dtype=np.int64), "matrix": m[:10].astype(np.float64)}
+    lsh = CosineLshConfig(dims=32, L=32, k=8, seed=0)
+    a = knn_lsh_cosine(emb, q, k=10, candidates=100, lsh=lsh).to_pandas()
+    index = build_cosine_band_index(emb, lsh)
+    b = knn_lsh_cosine(emb, q, k=10, candidates=100, corpus_bands=index).to_pandas()
+
+    def canon(df):
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(a), canon(b))
