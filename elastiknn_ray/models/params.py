@@ -70,6 +70,12 @@ class BitSampleParams:
 def derive_bitsample(cfg: HammingLshConfig) -> BitSampleParams:
     rng = JavaRandom(cfg.seed)
     L, k, dims = cfg.L, cfg.k, cfg.dims
+    if k > dims:
+        # the per-table sampler can only return min(k, dims) distinct
+        # positions; ragged tables would break the (L, k) position matrix
+        raise ValueError(
+            f"HammingLshConfig: k={k} bits per table cannot exceed dims={dims}"
+        )
 
     def sample_no_replacement(n: int, max_: int) -> list[int]:
         # HammingLshModel.java:81-92 — rejection sampling preserving draw order.

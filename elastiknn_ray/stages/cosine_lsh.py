@@ -24,6 +24,7 @@ from elastiknn_ray.config import CosineLshConfig
 from elastiknn_ray.models.exact import cosine_similarity_pairs
 from elastiknn_ray.models.params import derive_hyperplanes
 from elastiknn_ray.stages.knn import _to_matrix
+from elastiknn_ray.stages.simhash import _checked_lookup
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
@@ -158,8 +159,8 @@ class _BroadcastCosineVerify:
     def __call__(self, batch: pa.Table) -> pa.Table:
         da = batch.column("doc_a").to_numpy()
         db = batch.column("doc_b").to_numpy()
-        va = self.mn[np.searchsorted(self.ids, da)]
-        vb = self.mn[np.searchsorted(self.ids, db)]
+        va = self.mn[_checked_lookup(self.ids, da)]
+        vb = self.mn[_checked_lookup(self.ids, db)]
         score = 1.0 + np.einsum("ij,ij->i", va, vb)
         keep = score >= self.thresh
         return pa.table(

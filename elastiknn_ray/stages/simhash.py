@@ -15,6 +15,21 @@ fixed-width blobs decode zero-copy to an (N, W) lane matrix).
 from __future__ import annotations
 
 import numpy as np
+
+def _checked_lookup(ids: np.ndarray, wanted: np.ndarray) -> np.ndarray:
+    """Sorted-array membership lookup that REFUSES silent mis-gathers: every
+    wanted id must be present (ADVICE fix — an absent id would otherwise
+    gather another doc's payload or raise IndexError at the array end)."""
+    ix = np.minimum(np.searchsorted(ids, wanted), max(len(ids) - 1, 0))
+    if len(ids) == 0 or not (ids[ix] == wanted).all():
+        missing = wanted if len(ids) == 0 else wanted[ids[ix] != wanted]
+        raise KeyError(
+            f"{len(missing)} pair doc_ids have no stored payload "
+            f"(e.g. {missing[:3].tolist()})"
+        )
+    return ix
+
+
 import pyarrow as pa
 
 from elastiknn_ray.config import HammingLshConfig
@@ -139,8 +154,8 @@ class _BroadcastHammingVerify:
     def __call__(self, batch: pa.Table) -> pa.Table:
         da = batch.column("doc_a").to_numpy()
         db = batch.column("doc_b").to_numpy()
-        sa = self.sig[np.searchsorted(self.ids, da)]
-        sb = self.sig[np.searchsorted(self.ids, db)]
+        sa = self.sig[_checked_lookup(self.ids, da)]
+        sb = self.sig[_checked_lookup(self.ids, db)]
         sim = hamming_similarity_packed(sa, sb, self.dims)
         keep = sim >= self.tau
         return pa.table(

@@ -92,7 +92,13 @@ class _BroadcastJaccardVerify:
         self.tau = float(tau)
 
     def _gather(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        ix = np.searchsorted(self.ids, doc_ids)
+        ix = np.minimum(np.searchsorted(self.ids, doc_ids), len(self.ids) - 1)
+        if len(self.ids) == 0 or not (self.ids[ix] == doc_ids).all():
+            missing = doc_ids if len(self.ids) == 0 else doc_ids[self.ids[ix] != doc_ids]
+            raise KeyError(
+                f"verify: {len(missing)} candidate doc_ids have no signature "
+                f"(e.g. {missing[:3].tolist()}); pairs and signatures disagree"
+            )
         s = self.shard_of[ix]
         r = self.row_of[ix]
         n = len(doc_ids)

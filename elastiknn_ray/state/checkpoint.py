@@ -37,6 +37,26 @@ def _digest(*parts: str) -> str:
     return h.hexdigest()
 
 
+def input_fingerprint(path: str) -> str:
+    """Content-identity fingerprint of an input path: sorted (relpath, size,
+    mtime_ns) of every file under it.  Folded into the ROOT stage's digest
+    so regenerated input files invalidate the whole DAG instead of silently
+    reusing stale checkpoints (cheap: metadata only, no data reads)."""
+    parts = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        for dirpath, _, files in os.walk(path):
+            for f in files:
+                fp = os.path.join(dirpath, f)
+                st = os.stat(fp)
+                parts.append(
+                    f"{os.path.relpath(fp, path)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    return _digest(*sorted(parts))
+
+
 @dataclass
 class StageResult:
     name: str
@@ -154,11 +174,13 @@ def checkpointed_near_dup(pages_path: str, cfg, root: str, *, num_partitions: in
 
     runner = CheckpointRunner(root)
     os.makedirs(root, exist_ok=True)
-    cfg_repr = repr(cfg)
 
+    # per-stage config scope (only fields the stage actually reads) so e.g.
+    # a tau change re-runs ONLY verify onwards; the root stage additionally
+    # fingerprints the input files so regenerated data invalidates the DAG
     sigs = runner.stage(
         "signatures",
-        cfg_repr + pages_path,
+        repr(cfg.shingle) + pages_path + input_fingerprint(pages_path),
         [],
         lambda: rd.read_parquet(pages_path)
         .map_batches(prepare_batch, batch_format="pyarrow")
@@ -169,7 +191,7 @@ def checkpointed_near_dup(pages_path: str, cfg, root: str, *, num_partitions: in
 
     cands = runner.stage(
         "candidates",
-        cfg_repr,
+        repr(cfg.lsh) + f":cap={cfg.hot_band_cap}",
         ["signatures"],
         lambda: candidate_pairs(
             sigs.map_batches(
@@ -184,14 +206,14 @@ def checkpointed_near_dup(pages_path: str, cfg, root: str, *, num_partitions: in
 
     verified = runner.stage(
         "verified",
-        cfg_repr,
+        f"tau={cfg.tau}",
         ["signatures", "candidates"],
         lambda: verify_pairs(cands, sigs, cfg.tau, num_partitions=num_partitions),
     )
 
     clusters = runner.stage(
         "clusters",
-        cfg_repr,
+        "",
         ["verified"],
         lambda: connected_components(
             verified.select_columns(["doc_a", "doc_b"]).rename_columns(

@@ -79,5 +79,24 @@ def test_checkpoint_invalidates_on_config_change(ray_session, pages_path, tmp_pa
         shingle=ShingleConfig(k=5), lsh=JaccardLshConfig(L=64, k=3, seed=0), tau=0.6
     )
     _, r2 = checkpointed_near_dup(pages_path, cfg2, root, num_partitions=4)
-    # tau changes every stage digest (config_repr feeds all stages)
+    # per-stage config scope: a tau change re-runs ONLY verify onwards
+    assert r2.results["signatures"].skipped
+    assert r2.results["candidates"].skipped
     assert not r2.results["verified"].skipped
+    assert not r2.results["clusters"].skipped
+
+
+def test_checkpoint_invalidates_on_input_change(ray_session, pages_path, tmp_path):
+    """Regenerated input files (new mtime/size) must invalidate the whole
+    DAG — stale checkpoints are never silently reused (ADVICE fix)."""
+    import pyarrow.parquet as pqw
+
+    from elastiknn_ray.sources.synth import pages_table
+    from elastiknn_ray.state.checkpoint import checkpointed_near_dup
+
+    root = str(tmp_path / "run")
+    checkpointed_near_dup(pages_path, CFG, root, num_partitions=4)
+    # rewrite the input with different content
+    pqw.write_table(pages_table(210, 8), pages_path)
+    _, r2 = checkpointed_near_dup(pages_path, CFG, root, num_partitions=4)
+    assert all(not s.skipped for s in r2.results.values())
