@@ -790,3 +790,98 @@ def knn_l2_lsh(
 
     cand = counts.groupby("query_id").map_groups(cut, batch_format="pandas")
     return rescore_cosine_topk(cand, embeddings, query_ids, qm, k, metric="l2")
+
+
+# ------------------------------------------------------- persistent ANN index
+
+def write_cosine_band_index(
+    embeddings, lsh, path: str, *, num_buckets: int = 256
+) -> None:
+    """Persist a SEEKABLE band index: postings bucketed by
+    ``band_hash % num_buckets`` as hive-partitioned Parquet (never one giant
+    file), plus the stored vectors and a small JSON meta.  A query wave then
+    reads ONLY the buckets its own hashes map to — the on-disk analogue of
+    Lucene's term seek (MatchHashesAndScoreQuery.java:52-85), and the same
+    pruning a 100 TB deployment gets from partition_cols at the object
+    store."""
+    import json
+    import os
+
+    from elastiknn_ray.stages.cosine_lsh import cosine_bands_fn
+
+    emb = embeddings.select_columns(["vec_id", "embedding"])
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        out = cosine_bands_fn(t, lsh)
+        return out.append_column(
+            "bucket",
+            pa.array(
+                out.column("band_hash").to_numpy(zero_copy_only=False)
+                % np.uint64(num_buckets),
+                pa.int32(),
+            ),
+        )
+
+    emb.map_batches(bucketed, batch_format="pyarrow", batch_size=4096).write_parquet(
+        os.path.join(path, "bands"), partition_cols=["bucket"]
+    )
+    emb.write_parquet(os.path.join(path, "vectors"))
+    meta = {
+        "num_buckets": num_buckets,
+        "lsh": {"dims": lsh.dims, "L": lsh.L, "k": lsh.k, "seed": lsh.seed},
+    }
+    with open(os.path.join(path, "META.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def knn_lsh_cosine_seek(
+    path: str, query_ids_matrix: dict, k: int, *, candidates: int = 100
+):
+    """Query a written band index reading ONLY matching buckets: hash the
+    query wave, map hashes to buckets, read just those partition dirs, then
+    run the standard read path (countHits → cut → exact re-score) over the
+    pruned postings stream."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from elastiknn_ray.config import CosineLshConfig
+    from elastiknn_ray.models.params import derive_hyperplanes
+    from elastiknn_ray.stages.cosine_lsh import hyperplane_band_hashes
+
+    with open(os.path.join(path, "META.json")) as f:
+        meta = json.load(f)
+    lsh = CosineLshConfig(**meta["lsh"])
+    qm = np.asarray(query_ids_matrix["matrix"], dtype=np.float64)
+    planes = derive_hyperplanes(lsh).planes.astype(np.float64)
+    qh = hyperplane_band_hashes(qm, planes, lsh.L, lsh.k)
+    needed = np.unique(qh.reshape(-1) % np.uint64(meta["num_buckets"]))
+    files = []
+    for b in needed.tolist():
+        d = os.path.join(path, "bands", f"bucket={b}")
+        if os.path.isdir(d):
+            files.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not files:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+    bands = rd.read_parquet(files, columns=["doc_id", "band_hash"])
+    vectors = rd.read_parquet(
+        os.path.join(path, "vectors"), columns=["vec_id", "embedding"]
+    )
+    return knn_lsh_cosine(
+        vectors, query_ids_matrix, k, candidates=candidates, lsh=lsh,
+        corpus_bands=bands,
+    )

@@ -259,3 +259,86 @@ def test_knn_lsh_indexed_matches_streaming_path(ray_session):
         return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(canon(a), canon(b))
+
+
+def test_knn_lsh_seek_reads_only_matching_buckets(ray_session, tmp_path):
+    """The persisted bucketed band index: a small query wave reads only its
+    buckets' partition dirs and returns exactly what the streaming path
+    returns."""
+    import os
+
+    import pandas as pd
+
+    from elastiknn_ray.config import CosineLshConfig
+    from elastiknn_ray.stages.knn import (
+        knn_lsh_cosine,
+        knn_lsh_cosine_seek,
+        write_cosine_band_index,
+    )
+
+    emb, m = _emb_ds()
+    lsh = CosineLshConfig(dims=32, L=8, k=8, seed=0)
+    path = str(tmp_path / "index")
+    write_cosine_band_index(emb, lsh, path, num_buckets=64)
+    n_buckets_written = len(
+        [d for d in os.listdir(os.path.join(path, "bands")) if d.startswith("bucket=")]
+    )
+    assert n_buckets_written > 8
+
+    q = {"ids": np.arange(2, dtype=np.int64), "matrix": m[:2].astype(np.float64)}
+    a = knn_lsh_cosine_seek(path, q, k=5, candidates=50).to_pandas()
+    b = knn_lsh_cosine(emb, q, k=5, candidates=50, lsh=lsh).to_pandas()
+
+    def canon(df):
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(a), canon(b))
+    # 2 queries x 8 tables = at most 16 distinct hashes -> <= 16 buckets read
+    # (vs 64 written): the pruning is real
+    from elastiknn_ray.models.params import derive_hyperplanes
+    from elastiknn_ray.stages.cosine_lsh import hyperplane_band_hashes
+
+    qh = hyperplane_band_hashes(
+        q["matrix"], derive_hyperplanes(lsh).planes.astype(np.float64), lsh.L, lsh.k
+    )
+    needed = np.unique(qh.reshape(-1) % np.uint64(64))
+    assert len(needed) <= 16 < n_buckets_written
+
+
+def test_knn_ivf_seek_prunes_cells(ray_session, tmp_path):
+    """Written IVF index: only probed cell partitions are read; results
+    match the in-memory IVF path's recall regime (same probe rule, exact
+    scoring within probed cells)."""
+    import os
+
+    from elastiknn_ray.stages.ivf import knn_ivf_cosine, knn_ivf_cosine_seek, write_ivf_index
+
+    rng = np.random.default_rng(6)
+    centers = rng.normal(size=(16, 24))
+    m = np.vstack([c + 0.15 * rng.normal(size=(25, 24)) for c in centers])
+    import pyarrow as pa
+    import ray.data as rd
+
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(m), dtype=np.int64), pa.int64()),
+                "embedding": pa.array(list(m.astype(np.float32)), pa.list_(pa.float32())),
+            }
+        )
+    ).materialize()
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, n_cells=16, seed=0)
+    n_cells_written = len(
+        [d for d in os.listdir(os.path.join(path, "cells")) if d.startswith("cell=")]
+    )
+    assert n_cells_written >= 8
+
+    q = {"ids": np.arange(5, dtype=np.int64), "matrix": m[:5]}
+    seek = knn_ivf_cosine_seek(path, q, k=10, nprobe=4).to_pandas()
+    mem = knn_ivf_cosine(emb, q, k=10, n_cells=16, nprobe=4, seed=0).to_pandas()
+    # identical probe rule + exact scoring -> identical neighbor sets
+    for qid in range(5):
+        s = set(seek[seek["query_id"] == qid]["neighbor_id"])
+        e = set(mem[mem["query_id"] == qid]["neighbor_id"])
+        assert s == e, qid
