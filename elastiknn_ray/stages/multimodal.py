@@ -47,11 +47,19 @@ def encode_fake_image(h: int, w: int, c: int, pixels: np.ndarray) -> bytes:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """binary → (H, W, C) uint8.  Real decoder if available, fake codec for
-    FAKE_MAGIC payloads, NotImplementedError otherwise (stub boundary)."""
+    """binary → (H, W, C) uint8.
+
+    Decoder ladder: PNG via the REAL dependency-free decoder
+    (stages/codecs.py, stdlib zlib + numpy unfiltering), the in-repo FAKE
+    codec for synthetic payloads, then PIL if installed; anything else hits
+    the clearly-marked stub boundary (NotImplementedError)."""
     if buf[:8] == FAKE_MAGIC:
         h, w, c = np.frombuffer(buf[8:20], dtype=np.int32)
         return np.frombuffer(buf[20:], dtype=np.uint8).reshape(h, w, c)
+    from elastiknn_ray.stages.codecs import PNG_SIG, png_decode
+
+    if buf[:8] == PNG_SIG:
+        return png_decode(buf)
     try:  # pragma: no cover - PIL absent in this container
         import io
 
@@ -60,8 +68,8 @@ def decode_image(buf: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
     except ImportError:
         raise NotImplementedError(
-            "no image decoder available in this environment (stubbed; "
-            "real pipelines plug PIL/turbojpeg here)"
+            "no decoder for this image format in this environment (PNG and "
+            "the FAKE codec are built in; plug PIL/turbojpeg here for the rest)"
         )
 
 
@@ -145,9 +153,15 @@ class AudioChunkStage:
             if buf[:8] == FAKE_AUDIO_MAGIC:
                 rate = int(np.frombuffer(buf[8:12], dtype=np.int32)[0])
                 samples = np.frombuffer(buf[12:], dtype=np.float32)
+            elif buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+                # REAL decoder: stdlib wave container + numpy PCM conversion
+                from elastiknn_ray.stages.codecs import wav_decode
+
+                rate, samples = wav_decode(buf)
             else:
                 raise NotImplementedError(
-                    "no audio decoder available (stubbed; plug soundfile here)"
+                    "no decoder for this audio format (PCM WAV and the FAKE "
+                    "codec are built in; plug soundfile here for the rest)"
                 )
             n = int(rate * self.chunk_s)
             for ci in range(0, len(samples) // n):
@@ -165,7 +179,11 @@ class AudioChunkStage:
 
 
 def fake_images_table(n: int, seed: int = 0) -> pa.Table:
-    """Deterministic synthetic image table (FAKE codec) for tests/benches."""
+    """Deterministic synthetic image table for tests/benches — every third
+    payload is a REAL PNG (stages/codecs.py), the rest use the FAKE codec,
+    so consumers exercise both decode paths."""
+    from elastiknn_ray.stages.codecs import png_encode
+
     rows_id, rows_img, fmts, hs, ws = [], [], [], [], []
     for i in range(n):
         rng = np.random.default_rng((seed, i))
@@ -173,8 +191,12 @@ def fake_images_table(n: int, seed: int = 0) -> pa.Table:
         w = int(rng.integers(16, 64))
         px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
         rows_id.append(i)
-        rows_img.append(encode_fake_image(h, w, 3, px))
-        fmts.append("fake")
+        if i % 3 == 0:
+            rows_img.append(png_encode(px))
+            fmts.append("png")
+        else:
+            rows_img.append(encode_fake_image(h, w, 3, px))
+            fmts.append("fake")
         hs.append(h)
         ws.append(w)
     return pa.table(
@@ -189,12 +211,23 @@ def fake_images_table(n: int, seed: int = 0) -> pa.Table:
 
 
 def fake_audio_table(n: int, seed: int = 0, rate: int = 8000) -> pa.Table:
+    """Synthetic audio table — every third payload is a REAL 16-bit PCM WAV
+    (stages/codecs.py), the rest use the FAKE codec."""
+    from elastiknn_ray.stages.codecs import wav_encode
+
     ids, bufs = [], []
     for i in range(n):
         rng = np.random.default_rng((seed, i, 0xA))
         secs = float(rng.uniform(0.5, 3.0))
         samples = rng.normal(0, 0.1, int(rate * secs)).astype(np.float32)
-        buf = FAKE_AUDIO_MAGIC + np.array([rate], dtype=np.int32).tobytes() + samples.tobytes()
+        if i % 3 == 0:
+            buf = wav_encode(rate, samples)
+        else:
+            buf = (
+                FAKE_AUDIO_MAGIC
+                + np.array([rate], dtype=np.int32).tobytes()
+                + samples.tobytes()
+            )
         ids.append(i)
         bufs.append(buf)
     return pa.table(

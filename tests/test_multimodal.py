@@ -27,7 +27,11 @@ def test_fake_codec_roundtrip():
 
 
 def test_decode_unknown_format_is_stubbed():
+    # JPEG (no built-in decoder) hits the marked stub boundary
     with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg")
+    # a PNG signature routes to the REAL decoder, which rejects corrupt data
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\nrestofpng")
 
 
@@ -99,9 +103,153 @@ def test_audio_chunk_stage_in_ray(ray_session):
     assert len(out) > 0
     assert (out["rms"] > 0).all()
     # chunk counts per audio match floor(len / (rate * chunk_s))
+    from elastiknn_ray.stages.codecs import wav_decode
+    from elastiknn_ray.stages.multimodal import FAKE_AUDIO_MAGIC
+
     src = tbl.to_pandas()
     for aid, buf in zip(src["audio_id"], src["audio"]):
-        n_samples = (len(buf) - 12) // 4
+        if bytes(buf[:8]) == FAKE_AUDIO_MAGIC:
+            n_samples = (len(buf) - 12) // 4
+        else:  # real WAV payload
+            n_samples = len(wav_decode(bytes(buf))[1])
         expect = n_samples // 500
         got = (out["audio_id"] == aid).sum()
         assert got == expect, aid
+
+
+def test_png_roundtrip_all_shapes():
+    """Real PNG codec: encode (filter 0) -> decode reproduces pixels for
+    gray/gray+alpha/RGB/RGBA."""
+    import numpy as np
+
+    from elastiknn_ray.stages.codecs import png_decode, png_encode
+
+    rng = np.random.default_rng(3)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (13, 17, ch)).astype(np.uint8)
+        out = png_decode(png_encode(img))
+        assert out.shape == (13, 17, ch)
+        assert (out == img).all(), ch
+
+
+def test_png_decode_all_filters():
+    """Decoder must handle every scanline filter: forward-filter rows
+    manually (per the PNG spec) and check reconstruction."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from elastiknn_ray.stages.codecs import PNG_SIG, png_decode
+
+    rng = np.random.default_rng(4)
+    h, w, ch = 6, 9, 3
+    img = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = int(a) + int(b) - int(c)
+        pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa_ <= pb and pa_ <= pc else (b if pb <= pc else c)
+
+    raw = b""
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        line = img[y].reshape(stride)
+        f = y % 5
+        filt = np.empty(stride, dtype=np.uint8)
+        for i in range(stride):
+            left = int(line[i - ch]) if i >= ch else 0
+            up = int(prev[i])
+            ul = int(prev[i - ch]) if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                pred = paeth(left, up, ul)
+            filt[i] = (int(line[i]) - pred) % 256
+        raw += bytes([f]) + filt.tobytes()
+        prev = line
+
+    def chunk(tag, data):
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    png = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = png_decode(png)
+    assert (out == img).all()
+
+
+def test_wav_roundtrip_and_stage(ray_session):
+    """Real WAV codec + the audio stage consuming genuine WAV payloads."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elastiknn_ray.stages.codecs import wav_decode, wav_encode
+    from elastiknn_ray.stages.multimodal import AudioChunkStage
+
+    rng = np.random.default_rng(5)
+    rate = 8000
+    x = rng.normal(0, 0.1, rate * 2).astype(np.float32).clip(-1, 1)
+    rate2, y = wav_decode(wav_encode(rate, x))
+    assert rate2 == rate
+    assert np.abs(x - y).max() < 1e-3  # 16-bit quantization
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "audio_id": pa.array([0, 1], pa.int64()),
+                "audio": pa.array(
+                    [wav_encode(rate, x), wav_encode(rate, x[: rate // 2])],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    out = ds.map_batches(
+        AudioChunkStage, fn_constructor_kwargs={"chunk_s": 0.5},
+        batch_format="pyarrow", batch_size=2, concurrency=1,
+    ).to_pandas()
+    # 2s audio -> 4 chunks of 0.5s; 0.5s audio -> 1 chunk
+    assert len(out[out["audio_id"] == 0]) == 4
+    assert len(out[out["audio_id"] == 1]) == 1
+    assert (out["rms"] > 0).all()
+
+
+def test_image_stage_consumes_real_png(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elastiknn_ray.stages.codecs import png_encode
+    from elastiknn_ray.stages.multimodal import ImageDecodeStage
+
+    rng = np.random.default_rng(6)
+    imgs = [rng.integers(0, 256, (24, 31, 3)).astype(np.uint8) for _ in range(3)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array(range(3), pa.int64()),
+                "image": pa.array([png_encode(i) for i in imgs], pa.binary()),
+            }
+        )
+    )
+    out = ds.map_batches(
+        ImageDecodeStage, fn_constructor_kwargs={"thumb": 8, "grid": 2},
+        batch_format="pyarrow", batch_size=2, concurrency=1,
+    ).to_pandas()
+    assert (out["height"] == 24).all() and (out["width"] == 31).all()
+    assert len(out["embedding"].iloc[0]) == 2 * 2 * 3
