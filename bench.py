@@ -59,6 +59,11 @@ def _init_ray(num_cpus: int) -> None:
             include_dashboard=False,
             logging_level="ERROR",
         )
+    # keep stdout clean: the driver parses the single JSON line this script
+    # prints, so nothing else may land on stdout
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
 
 
 def run_queries(sf_dir: str, num_cpus: int) -> dict:
