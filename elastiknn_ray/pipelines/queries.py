@@ -298,6 +298,27 @@ def q_quality_counts(sf_dir: str):
     )
 
 
+def q_quality_scores(sf_dir: str):
+    """Composite [0,1] quality heuristic per doc (Gopher-style soft
+    penalties, text/analysis.py quality_score) — the arithmetic is plain
+    IEEE-double ops in a fixed order, so the DuckDB oracle reproduces the
+    score bit-for-bit from the same integer surface counts."""
+    from elastiknn_ray.text.analysis import quality_counts, quality_score
+
+    def f(batch: pa.Table) -> pa.Table:
+        counts = quality_counts(batch.column("text"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score": pa.array(quality_score(counts), pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-profile language ID (rows-only; profile arithmetic is not
     SQL-expressible — behavior pinned in tests/test_analysis.py)."""
@@ -836,6 +857,7 @@ QUERIES = {
     "dedup_decisions": q_dedup_decisions,
     "invalid_docs": q_invalid_docs,
     "quality_counts": q_quality_counts,
+    "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
     "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
@@ -1017,6 +1039,35 @@ ORACLE_SQL = {
                COALESCE(list_max(list_transform({_TOKS}, x -> length(x))), 0)
                    AS max_token_len
         FROM documents""",
+    "quality_scores": f"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS ncr,
+                 CAST(length({_TOKS}) AS DOUBLE) AS nt,
+                 CAST(length(list_distinct({_TOKS})) AS DOUBLE) AS nu,
+                 CAST(length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS DOUBLE)
+                     AS na
+          FROM documents),
+        d AS (
+          SELECT doc_id, nt,
+                 GREATEST(ncr, 1) AS nc,
+                 na / GREATEST(ncr, 1) AS alpha_frac,
+                 CASE WHEN nt > 0 THEN nu / GREATEST(nt, 1) ELSE 0 END AS uniq_frac,
+                 GREATEST(ncr, 1) / GREATEST(nt, 1) AS mean_tok
+          FROM c),
+        s AS (
+          SELECT doc_id,
+                 LEAST(GREATEST(nt / 50.0, 0), 1)
+                   * LEAST(GREATEST((100000 - nt) / 50000.0, 0), 1) AS s_len,
+                 LEAST(GREATEST((alpha_frac - 0.5) / 0.3, 0), 1) AS s_alpha,
+                 LEAST(GREATEST((uniq_frac - 0.1) / 0.4, 0), 1) AS s_uniq,
+                 LEAST(GREATEST((mean_tok - 2.0) / 2.0, 0), 1)
+                   * LEAST(GREATEST((12.0 - mean_tok) / 4.0, 0), 1) AS s_tok
+          FROM d)
+        SELECT doc_id,
+               LEAST(GREATEST(s_len * (0.4 * s_alpha + 0.3 * s_uniq
+                                       + 0.3 * s_tok), 0), 1) AS score
+        FROM s""",
     "perm_hashes": """
         WITH u AS (SELECT vec_id, unnest(embedding) AS v,
                           generate_subscripts(embedding, 1) AS ix

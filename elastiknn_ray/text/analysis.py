@@ -155,8 +155,13 @@ def quality_score(counts: dict[str, np.ndarray]) -> np.ndarray:
     nt = counts["n_tokens"].astype(np.float64)
     nc = np.maximum(counts["n_chars"].astype(np.float64), 1)
     alpha_frac = counts["n_alpha_chars"] / nc
+    # out= is required with where=: without it masked lanes are
+    # UNINITIALIZED memory (a nan/inf there would poison the 0-token case)
     uniq_frac = np.divide(
-        counts["n_unique_tokens"], np.maximum(nt, 1), where=nt > 0
+        counts["n_unique_tokens"],
+        np.maximum(nt, 1),
+        out=np.zeros_like(nt),
+        where=nt > 0,
     )
     mean_tok = np.divide(nc, np.maximum(nt, 1))
     s_len = np.clip(nt / 50.0, 0, 1) * np.clip((100_000 - nt) / 50_000.0, 0, 1)
