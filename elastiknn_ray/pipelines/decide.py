@@ -94,7 +94,10 @@ def _drop_exact(docs):
 
         return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
     j = hashed.join(
-        multi, join_type="inner", num_partitions=8, on=("content_hash",)
+        drop_empty_blocks(multi),
+        join_type="inner",
+        num_partitions=8,
+        on=("content_hash",),
     )
     return j.map_batches(
         lambda t: t.filter(
