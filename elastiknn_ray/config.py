@@ -39,6 +39,15 @@ class ShingleConfig:
     mode: str = "word"  # "word" | "char"
 
 
+def _require(cond: bool, msg: str) -> None:
+    """Plan-time dispatch validation (SURVEY.md §2.3 Q7): the engine's
+    analogue of the reference's (query, mapping) compatibility checks
+    (ElastiknnQueryBuilder.scala:38-92) — invalid configurations fail at
+    CONSTRUCTION, not deep inside a worker task."""
+    if not cond:
+        raise ValueError(msg)
+
+
 @dataclass(frozen=True)
 class JaccardLshConfig:
     """MinHash-LSH (JaccardLshModel.java:27-63): L tables × k minhashes/table."""
@@ -46,6 +55,9 @@ class JaccardLshConfig:
     L: int = 16
     k: int = 4
     seed: int = 0
+
+    def __post_init__(self):
+        _require(self.L > 0 and self.k > 0, f"JaccardLshConfig: L and k must be positive (got L={self.L}, k={self.k})")
 
 
 @dataclass(frozen=True)
@@ -57,6 +69,10 @@ class HammingLshConfig:
     k: int = 4
     seed: int = 0
 
+    def __post_init__(self):
+        _require(self.dims > 0 and self.L > 0 and self.k > 0, f"HammingLshConfig: dims, L, k must be positive (got dims={self.dims}, L={self.L}, k={self.k})")
+        _require(self.k <= self.dims, f"HammingLshConfig: k={self.k} bits per table cannot exceed dims={self.dims}")
+
 
 @dataclass(frozen=True)
 class CosineLshConfig:
@@ -66,6 +82,10 @@ class CosineLshConfig:
     L: int = 16
     k: int = 8
     seed: int = 0
+
+    def __post_init__(self):
+        _require(self.dims > 0, f"CosineLshConfig: dims must be positive (got {self.dims}); pass the embedding dimensionality")
+        _require(self.L > 0 and 0 < self.k <= 64, f"CosineLshConfig: need L > 0 and 0 < k <= 64 (got L={self.L}, k={self.k})")
 
 
 @dataclass(frozen=True)
@@ -78,6 +98,11 @@ class L2LshConfig:
     w: int = 4
     seed: int = 0
 
+    def __post_init__(self):
+        _require(self.dims > 0, f"L2LshConfig: dims must be positive (got {self.dims})")
+        _require(self.L > 0 and self.k > 0, f"L2LshConfig: L and k must be positive (got L={self.L}, k={self.k})")
+        _require(self.w > 0, f"L2LshConfig: bucket width w must be positive (got {self.w}) — L2LshModel.java:45")
+
 
 @dataclass(frozen=True)
 class PermutationLshConfig:
@@ -85,6 +110,9 @@ class PermutationLshConfig:
 
     k: int = 16
     repeating: bool = True
+
+    def __post_init__(self):
+        _require(self.k > 0, f"PermutationLshConfig: k must be positive (got {self.k})")
 
 
 @dataclass(frozen=True)

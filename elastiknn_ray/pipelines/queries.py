@@ -543,6 +543,25 @@ def q_knn_lsh_cosine(sf_dir: str):
     return out.select_columns(["query_id", "rank", "neighbor_id"])
 
 
+def q_knn_lsh_cosine_score_fn(sf_dir: str):
+    """Q5 score-function mode: candidates ranked by the band-collision
+    fraction matchingHashes/totalHashes with NO exact re-rank
+    (HashingQuery.scala:40-83).  Rows-only driver check."""
+    from elastiknn_ray.stages.knn import knn_lsh_cosine
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    q = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
+    qm = np.array(q["embedding"].tolist(), dtype=np.float64)
+    out = knn_lsh_cosine(
+        emb,
+        {"ids": q["vec_id"].to_numpy(), "matrix": qm},
+        k=5,
+        candidates=100,
+        rescore=False,
+    )
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
 def q_knn_ivf_cosine(sf_dir: str):
     """IVF-Flat ANN (stages/ivf.py): spherical-kmeans cells + nprobe search,
     exact re-score.  Rows-only driver check; recall pinned vs exact in
@@ -870,6 +889,7 @@ QUERIES = {
     "knn_jaccard_lsh": q_knn_jaccard_lsh,
     "knn_filtered_cosine": q_knn_filtered_cosine,
     "knn_lsh_cosine": q_knn_lsh_cosine,
+    "knn_lsh_cosine_score_fn": q_knn_lsh_cosine_score_fn,
     "knn_ivf_cosine": q_knn_ivf_cosine,
     "knn_perm_cosine": q_knn_perm_cosine,
     "knn_l2_lsh": q_knn_l2_lsh,

@@ -447,6 +447,7 @@ def knn_lsh_cosine(
     lsh=None,
     concurrency=(1, 8),
     corpus_bands=None,
+    rescore: bool = True,
 ):
     """Approximate cosine kNN — the reference's full read path (SURVEY.md
     §3.2): hash the query vectors once (ElastiknnQueryBuilder step 3), count
@@ -470,8 +471,18 @@ def knn_lsh_cosine(
     query_ids = np.asarray(query_ids_matrix["ids"], dtype=np.int64)
     qm = np.asarray(query_ids_matrix["matrix"], dtype=np.float64)
     if isinstance(corpus_bands, CosineBandIndex):
+        if corpus_bands.lsh.dims != qm.shape[1]:
+            raise ValueError(
+                f"query dims {qm.shape[1]} != index dims {corpus_bands.lsh.dims} "
+                "(ElastiknnQueryBuilder.scala:38-92 compatibility check)"
+            )
         return _knn_lsh_cosine_indexed(corpus_bands, query_ids, qm, k, candidates)
     lsh = lsh or CosineLshConfig(dims=qm.shape[1], L=32, k=8, seed=0)
+    if lsh.dims != qm.shape[1]:
+        raise ValueError(
+            f"query dims {qm.shape[1]} != mapping dims {lsh.dims} "
+            "(ElastiknnQueryBuilder.scala:38-92 compatibility check)"
+        )
     from elastiknn_ray.stages.cosine_lsh import hyperplane_band_hashes
 
     planes = derive_hyperplanes(lsh).planes.astype(np.float64)
@@ -510,7 +521,26 @@ def knn_lsh_cosine(
         ).head(candidates)
 
     cand = counts.groupby("query_id").map_groups(cut, batch_format="pandas")
+    if not rescore:
+        return _collision_score_topk(cand, k, lsh.L)
     return rescore_cosine_topk(cand, embeddings, query_ids, qm, k)
+
+
+def _collision_score_topk(cand, k: int, n_tables: int):
+    """Q5 score-function mode (no re-rank): score = matchingHashes /
+    totalHashes — the reference's function_score variant, explicitly NOT
+    exact-re-scored (HashingQuery.scala:40-83; the classic MinHash estimator
+    when k=1).  Deterministic (score desc, neighbor_id) ordering."""
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["n_bands", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["score"] = g["n_bands"].to_numpy(dtype=np.float64) / float(n_tables)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "neighbor_id", "score"]]
+
+    return cand.groupby("query_id").map_groups(topk, batch_format="pandas")
 
 
 def rescore_cosine_topk(
@@ -751,6 +781,11 @@ def knn_l2_lsh(
     query_ids = np.asarray(query_ids_matrix["ids"], dtype=np.int64)
     qm = np.asarray(query_ids_matrix["matrix"], dtype=np.float64)
     lsh = lsh or L2LshConfig(dims=qm.shape[1], L=32, k=4, w=4, seed=0)
+    if lsh.dims != qm.shape[1]:
+        raise ValueError(
+            f"query dims {qm.shape[1]} != mapping dims {lsh.dims} "
+            "(ElastiknnQueryBuilder.scala:38-92 compatibility check)"
+        )
     p = derive_l2(lsh)
     a, b = p.A.astype(np.float64), p.B.astype(np.float64)
 

@@ -342,3 +342,44 @@ def test_knn_ivf_seek_prunes_cells(ray_session, tmp_path):
         s = set(seek[seek["query_id"] == qid]["neighbor_id"])
         e = set(mem[mem["query_id"] == qid]["neighbor_id"])
         assert s == e, qid
+
+
+def test_knn_lsh_score_function_mode(ray_session):
+    """Q5: rescore=False ranks by collision fraction (multiples of 1/L,
+    nonincreasing per query) and never exact-rescores."""
+    from elastiknn_ray.config import CosineLshConfig
+    from elastiknn_ray.stages.knn import knn_lsh_cosine
+
+    emb, m = _emb_ds()
+    q = {"ids": np.arange(5, dtype=np.int64), "matrix": m[:5].astype(np.float64)}
+    lsh = CosineLshConfig(dims=32, L=16, k=4, seed=0)
+    out = knn_lsh_cosine(emb, q, k=10, candidates=50, lsh=lsh, rescore=False).to_pandas()
+    assert len(out) > 0
+    frac = out["score"] * lsh.L
+    assert np.allclose(frac, np.round(frac))  # multiples of 1/L
+    for _, g in out.groupby("query_id"):
+        s = g.sort_values("rank")["score"].to_numpy()
+        assert (np.diff(s) <= 1e-12).all()
+    assert (out["score"] <= 1.0).all() and (out["score"] > 0).all()
+
+
+def test_plan_time_compat_validation(ray_session):
+    """Q7: incompatible (query, mapping) combinations fail at construction
+    with a clear error, mirroring ElastiknnQueryBuilder's dispatch checks."""
+    import pytest
+
+    from elastiknn_ray.config import CosineLshConfig, L2LshConfig
+    from elastiknn_ray.stages.knn import knn_l2_lsh, knn_lsh_cosine
+
+    emb, m = _emb_ds()
+    q = {"ids": np.arange(3, dtype=np.int64), "matrix": m[:3].astype(np.float64)}
+    with pytest.raises(ValueError, match="dims"):
+        knn_lsh_cosine(emb, q, k=5, lsh=CosineLshConfig(dims=16, L=8, k=4, seed=0))
+    with pytest.raises(ValueError, match="dims"):
+        knn_l2_lsh(emb, q, k=5, lsh=L2LshConfig(dims=16, L=8, k=2, w=4, seed=0))
+    with pytest.raises(ValueError, match="positive"):
+        CosineLshConfig(dims=0, L=8, k=4)
+    with pytest.raises(ValueError, match="cannot exceed"):
+        from elastiknn_ray.config import HammingLshConfig
+
+        HammingLshConfig(dims=8, k=16)
