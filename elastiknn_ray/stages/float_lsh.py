@@ -61,12 +61,13 @@ class L2LshBandStage:
 def _fnv_band_scalar(ix_l: int, ints: np.ndarray) -> int:
     """Band identity for one (table, k-int-tuple) — EXACTLY the encoding of
     :func:`l2_band_hashes` so probe hashes collide with corpus bands."""
-    h = _FNV_OFFSET
-    h = (h ^ np.uint64(ix_l)) * _FNV_PRIME
-    for v in ints:
-        u = np.int64(v).astype(np.int64).view(np.uint64)
-        h = (h ^ u) * _FNV_PRIME
-        h = (h ^ (u >> np.uint64(32))) * _FNV_PRIME
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        h = _FNV_OFFSET
+        h = (h ^ np.uint64(ix_l)) * _FNV_PRIME
+        for v in ints:
+            u = np.int64(v).astype(np.int64).view(np.uint64)
+            h = (h ^ u) * _FNV_PRIME
+            h = (h ^ (u >> np.uint64(32))) * _FNV_PRIME
     return int(h)
 
 
