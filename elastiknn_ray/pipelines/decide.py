@@ -230,17 +230,35 @@ def dedup_decisions(
     num_partitions: int = 8,
 ):
     """docs(doc_id, text) → (doc_id, keep, reason)."""
-    from ray.data.aggregate import Min
-
     sub_cfg = sub_cfg or SubstringConfig(num_partitions=num_partitions)
     docs = docs.materialize()
-
     res = near_dup_pipeline(docs, cfg, num_partitions=num_partitions)
     spans = substring_spans(docs, sub_cfg)
+    return decisions_from(
+        docs,
+        res.clusters,
+        spans,
+        substring_frac=substring_frac,
+        num_partitions=num_partitions,
+    )
+
+
+def decisions_from(
+    docs,
+    clusters,
+    spans,
+    *,
+    substring_frac: float = 0.5,
+    num_partitions: int = 8,
+):
+    """Compose the decision table from PRECOMPUTED clusters + spans (the
+    checkpointed pipeline feeds persisted stage outputs here; dedup_decisions
+    wires the live pipelines).  docs must be materialized."""
+    from ray.data.aggregate import Min
 
     drops = (
         _ranked(_drop_exact(docs), 0)
-        .union(_ranked(_drop_near(res.clusters), 1))
+        .union(_ranked(_drop_near(clusters), 1))
         .union(_ranked(_drop_substring(docs, spans, substring_frac, num_partitions), 2))
     )
     # strongest reason per doc; materialize to gate the annotate strategy

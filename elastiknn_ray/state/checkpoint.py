@@ -222,3 +222,60 @@ def checkpointed_near_dup(pages_path: str, cfg, root: str, *, num_partitions: in
         ),
     )
     return clusters, runner
+
+
+def checkpointed_dedup_decisions(
+    pages_path: str,
+    cfg,
+    root: str,
+    *,
+    sub_cfg=None,
+    substring_frac: float = 0.5,
+    num_partitions: int = 16,
+):
+    """The full end-product pipeline (exact + near + substring → keep/drop
+    decision per doc) with a checkpoint after EVERY stage: signatures →
+    candidates → verified → clusters → spans → decisions.  Any rerun with
+    the same config + input resumes at the first incomplete stage; a tau
+    change replays verify onwards, a substring-config change replays only
+    spans + decisions.
+
+    Returns (decisions Dataset, runner).
+    """
+    import ray.data as rd
+
+    from elastiknn_ray.pipelines.decide import decisions_from
+    from elastiknn_ray.stages.hashing import prepare_batch
+    from elastiknn_ray.stages.substring import SubstringConfig, substring_spans
+
+    sub_cfg = sub_cfg or SubstringConfig(num_partitions=num_partitions)
+    clusters, runner = checkpointed_near_dup(
+        pages_path, cfg, root, num_partitions=num_partitions
+    )
+
+    def docs_ds():
+        return (
+            rd.read_parquet(pages_path)
+            .map_batches(prepare_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "text"])
+        )
+
+    spans = runner.stage(
+        "spans",
+        repr(sub_cfg) + pages_path + input_fingerprint(pages_path),
+        [],
+        lambda: substring_spans(docs_ds(), sub_cfg),
+    )
+    decisions = runner.stage(
+        "decisions",
+        f"frac={substring_frac}",
+        ["clusters", "spans"],
+        lambda: decisions_from(
+            docs_ds().materialize(),
+            clusters,
+            spans,
+            substring_frac=substring_frac,
+            num_partitions=num_partitions,
+        ),
+    )
+    return decisions, runner

@@ -100,3 +100,44 @@ def test_checkpoint_invalidates_on_input_change(ray_session, pages_path, tmp_pat
     pqw.write_table(pages_table(210, 8), pages_path)
     _, r2 = checkpointed_near_dup(pages_path, CFG, root, num_partitions=4)
     assert all(not s.skipped for s in r2.results.values())
+
+
+def test_checkpointed_dedup_decisions_resume(ray_session, pages_path, tmp_path):
+    """The full end-product pipeline checkpoints all six stages; killing the
+    spans manifest replays only spans + decisions; outputs identical and
+    equal to the live (uncheckpointed) dedup_decisions."""
+    import pandas as pd
+    import ray.data as rd
+
+    from elastiknn_ray.pipelines.decide import dedup_decisions
+    from elastiknn_ray.stages.hashing import prepare_batch
+    from elastiknn_ray.state.checkpoint import checkpointed_dedup_decisions
+
+    root = str(tmp_path / "run")
+    dec1, r1 = checkpointed_dedup_decisions(pages_path, CFG, root, num_partitions=4)
+    df1 = dec1.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert set(r1.results) == {
+        "signatures", "candidates", "verified", "clusters", "spans", "decisions"
+    }
+
+    # live-pipeline equivalence
+    docs = rd.read_parquet(pages_path).map_batches(
+        prepare_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "text"])
+    live = dedup_decisions(docs, CFG, num_partitions=4).to_pandas()
+    live = live.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        df1[["doc_id", "keep", "reason"]], live[["doc_id", "keep", "reason"]]
+    )
+
+    # crash mid-spans: only spans + decisions recompute
+    os.remove(os.path.join(root, "spans", "MANIFEST.json"))
+    dec2, r2 = checkpointed_dedup_decisions(pages_path, CFG, root, num_partitions=4)
+    assert r2.results["signatures"].skipped
+    assert r2.results["clusters"].skipped
+    assert not r2.results["spans"].skipped  # recomputed
+    # decisions' digest is structural (depends on spans' digest, not its
+    # bytes); the recompute is deterministic, so restoring it is valid
+    assert r2.results["decisions"].skipped
+    df2 = dec2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(df1, df2)
