@@ -34,6 +34,14 @@ def main() -> None:
     ap.add_argument("--tau", type=float, default=0.5)
     ap.add_argument("--hot-band-cap", type=int, default=256)
     ap.add_argument("--num-partitions", type=int, default=32)
+    ap.add_argument(
+        "--mode",
+        choices=["clusters", "decisions"],
+        default="clusters",
+        help="clusters: near-dup cluster table; decisions: full keep/drop "
+        "decision table (exact + near + substring)",
+    )
+    ap.add_argument("--substring-frac", type=float, default=0.5)
     args = ap.parse_args()
 
     import ray
@@ -42,7 +50,10 @@ def main() -> None:
         ray.init(address=os.environ.get("RAY_ADDRESS", "auto"))
 
     from elastiknn_ray.config import DedupConfig, JaccardLshConfig, ShingleConfig
-    from elastiknn_ray.state.checkpoint import checkpointed_near_dup
+    from elastiknn_ray.state.checkpoint import (
+        checkpointed_dedup_decisions,
+        checkpointed_near_dup,
+    )
 
     cfg = DedupConfig(
         shingle=ShingleConfig(k=args.shingle_k),
@@ -51,11 +62,20 @@ def main() -> None:
         hot_band_cap=args.hot_band_cap,
     )
     t0 = time.perf_counter()
-    clusters, runner = checkpointed_near_dup(
-        args.input, cfg, args.checkpoint_root, num_partitions=args.num_partitions
-    )
+    if args.mode == "decisions":
+        result, runner = checkpointed_dedup_decisions(
+            args.input,
+            cfg,
+            args.checkpoint_root,
+            substring_frac=args.substring_frac,
+            num_partitions=args.num_partitions,
+        )
+    else:
+        result, runner = checkpointed_near_dup(
+            args.input, cfg, args.checkpoint_root, num_partitions=args.num_partitions
+        )
     os.makedirs(args.output, exist_ok=True)
-    clusters.write_parquet(args.output)
+    result.write_parquet(args.output)
     print(
         json.dumps(
             {
