@@ -289,6 +289,89 @@ def run_ann(num_cpus: int) -> dict:
     }
 
 
+def run_emb_dedup(num_cpus: int, n: int, dims: int = 64, seed: int = 0) -> dict:
+    """Embedding near-dup at scale: hyperplane-LSH candidate generation +
+    broadcast-gated exact-cosine verify over a synthetic clustered corpus
+    (the scale path of the emb_cosine_* registry entries; planted near-dup
+    pairs give a recall denominator)."""
+    _init_ray(num_cpus)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elastiknn_ray.config import CosineLshConfig
+    from elastiknn_ray.stages.cosine_lsh import cosine_bands_fn, verify_cosine_pairs
+    from elastiknn_ray.stages.pairs import candidate_pairs
+
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n, dims)).astype(np.float32)
+    # bucket math: k=24 sign bits keeps the random-pair collision tail tiny
+    # (candidates stay ~O(n)) while planted near-dups at cos ~ 0.997 collide
+    # per table w.p. 0.9777^24 ~ 0.58 -> recall ~ 1 - 0.42^16 ~ 1.  (k=10
+    # gives only ~1024 effective buckets: O(n^2/1024) candidate pairs.)
+    # plant near-dups: 5% of vectors are a tiny perturbation of another
+    n_dup = n // 20
+    src = rng.integers(0, n - n_dup, n_dup)
+    base[n - n_dup :] = base[src] + 0.05 * rng.normal(size=(n_dup, dims)).astype(
+        np.float32
+    )
+    # zero-copy list column: offsets buffer + flat value buffer (building
+    # via pa.array(list(...)) walks 200k python objects)
+    flat = pa.array(base.reshape(-1), pa.float32())
+    offsets = pa.array(np.arange(0, (n + 1) * dims, dims, dtype=np.int32))
+    emb_col = pa.ListArray.from_arrays(offsets, flat)
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "embedding": emb_col,
+            }
+        )
+    ).materialize()
+    tau = 0.9
+    t0 = time.perf_counter()
+    bands = emb.map_batches(
+        cosine_bands_fn,
+        fn_kwargs={"lsh": CosineLshConfig(dims=dims, L=16, k=24, seed=0)},
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    cands = candidate_pairs(bands, cap=256)
+    pairs = verify_cosine_pairs(cands, emb, tau, num_partitions=16).materialize()
+    elapsed = time.perf_counter() - t0
+    n_pairs = pairs.count()
+    # recall vs planted pairs (true cos ~0.997 at 0.05 sigma perturbation)
+    found = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        for a_, b_ in zip(b.column("vec_a").to_pylist(), b.column("vec_b").to_pylist()):
+            found.add((min(a_, b_), max(a_, b_)))
+    import numpy.linalg as la
+
+    planted_hit = 0
+    planted = 0
+    for i, s in enumerate(src.tolist()):
+        a_, b_ = n - n_dup + i, s
+        va, vb = base[a_].astype(np.float64), base[b_].astype(np.float64)
+        cos = va @ vb / max(la.norm(va) * la.norm(vb), 1e-12)
+        if cos >= tau:
+            planted += 1
+            if (min(a_, b_), max(a_, b_)) in found:
+                planted_hit += 1
+    return {
+        "metric": "emb_dedup_vecs_per_sec",
+        "value": round(n / elapsed, 1),
+        "unit": "vecs/sec",
+        "n": n,
+        "dims": dims,
+        "tau": tau,
+        "elapsed_sec": round(elapsed, 2),
+        "verified_pairs": n_pairs,
+        "planted_recall": round(planted_hit / max(planted, 1), 4),
+        "n_planted": planted,
+        "num_cpus": num_cpus,
+    }
+
+
 def run_scaling(repeats: int = 2) -> dict:
     """Fresh subprocess per parallelism level (clean Ray session, cold plan).
 
@@ -340,6 +423,8 @@ def main() -> None:
     ap.add_argument("--recall", action="store_true", help="dup-pair recall vs ground truth")
     ap.add_argument("--ann", action="store_true", help="ann-benchmarks-style recall/QPS sweep")
     ap.add_argument("--flagship", action="store_true", help="single fresh-session flagship run")
+    ap.add_argument("--emb-dedup", action="store_true", help="embedding near-dup scale run")
+    ap.add_argument("--n", type=int, default=200_000, help="vector count for --emb-dedup")
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--docs", type=int, default=SCALING_DOCS)
     args = ap.parse_args()
@@ -352,6 +437,8 @@ def main() -> None:
         result = run_ann(args.cpus)
     elif args.flagship:
         result = run_flagship(args.cpus, args.docs, SCALING_SEED)
+    elif args.emb_dedup:
+        result = run_emb_dedup(args.cpus, args.n)
     else:
         result = run_queries(SF_DIR, args.cpus)
 
