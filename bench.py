@@ -372,6 +372,50 @@ def run_emb_dedup(num_cpus: int, n: int, dims: int = 64, seed: int = 0) -> dict:
     }
 
 
+def run_substring(num_cpus: int, n_docs: int, seed: int) -> dict:
+    """Substring-dedup at scale: suffix-array + winnowing spans over the
+    synthetic corpus, measuring docs/s plus detection of the corpus's
+    planted >= 200-char injected substrings (either side of an injected
+    pair may be the kept first occurrence)."""
+    _init_ray(num_cpus)
+    from elastiknn_ray.sources.synth import base_target, pages_dataset, role_of, url_of
+    from elastiknn_ray.stages.hashing import doc_id_of_url, prepare_batch
+    from elastiknn_ray.stages.substring import SubstringConfig, substring_spans
+
+    pages = pages_dataset(n_docs, seed, override_num_blocks=64)
+    docs = pages.map_batches(prepare_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "text"]
+    )
+    t0 = time.perf_counter()
+    spans = substring_spans(
+        docs, SubstringConfig(num_partitions=max(32, num_cpus))
+    ).materialize()
+    elapsed = time.perf_counter() - t0
+    flagged = set()
+    for b in spans.iter_batches(batch_format="pyarrow"):
+        flagged.update(b.column("doc_id").to_pylist())
+    n_hosts = max(4, n_docs // 50)
+    substr_rows = [i for i in range(n_docs) if role_of(i, seed) == "substr"]
+    hit = 0
+    for i in substr_rows:
+        did = doc_id_of_url(url_of(i, seed, n_hosts))
+        donor = doc_id_of_url(url_of(base_target(i, seed), seed, n_hosts))
+        if did in flagged or donor in flagged:
+            hit += 1
+    return {
+        "metric": "substring_docs_per_sec",
+        "value": round(n_docs / elapsed, 1),
+        "unit": "docs/sec",
+        "n_docs": n_docs,
+        "elapsed_sec": round(elapsed, 2),
+        "span_rows": spans.count(),
+        "injected_detected": hit,
+        "injected_total": len(substr_rows),
+        "detection_rate": round(hit / max(len(substr_rows), 1), 4),
+        "num_cpus": num_cpus,
+    }
+
+
 def run_scaling(repeats: int = 2) -> dict:
     """Fresh subprocess per parallelism level (clean Ray session, cold plan).
 
@@ -424,6 +468,7 @@ def main() -> None:
     ap.add_argument("--ann", action="store_true", help="ann-benchmarks-style recall/QPS sweep")
     ap.add_argument("--flagship", action="store_true", help="single fresh-session flagship run")
     ap.add_argument("--emb-dedup", action="store_true", help="embedding near-dup scale run")
+    ap.add_argument("--substring", action="store_true", help="substring-dedup scale run")
     ap.add_argument("--n", type=int, default=200_000, help="vector count for --emb-dedup")
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--docs", type=int, default=SCALING_DOCS)
@@ -439,6 +484,8 @@ def main() -> None:
         result = run_flagship(args.cpus, args.docs, SCALING_SEED)
     elif args.emb_dedup:
         result = run_emb_dedup(args.cpus, args.n)
+    elif args.substring:
+        result = run_substring(args.cpus, args.docs, SCALING_SEED)
     else:
         result = run_queries(SF_DIR, args.cpus)
 
