@@ -445,6 +445,16 @@ def q_knn_jaccard_lsh(sf_dir: str):
 EMB_COS_TAU = 0.35  # sf tables: max pairwise cos ~0.48; 0.35 yields a few hundred pairs
 
 
+def _emb_dims(sf_dir: str) -> int:
+    """Embedding dimensionality straight from the Parquet file (first row of
+    the first row group) — no Ray execution round-trip."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    t = f.read_row_group(0, columns=["embedding"])
+    return len(t.column("embedding")[0])
+
+
 def q_emb_cosine_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup (training-data op): all pairs with
     cos >= 0.35, brute-force broadcast path; integer-only output."""
@@ -463,14 +473,15 @@ def q_emb_cosine_lsh_pairs(sf_dir: str):
     from elastiknn_ray.stages.pairs import candidate_pairs
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
-    dims = len(emb.take(1)[0]["embedding"])
+    dims = _emb_dims(sf_dir)
     bands = emb.map_batches(
         cosine_bands_fn,
         fn_kwargs={"lsh": CosineLshConfig(dims=dims, L=64, k=6, seed=0)},
         batch_format="pyarrow",
         batch_size=2048,
     )
-    cands = candidate_pairs(bands, cap=256)
+    # small embedding table: 8 coarse partitions, not the 64 default
+    cands = candidate_pairs(bands, cap=256, num_partitions=8)
     return verify_cosine_pairs(cands, emb, EMB_COS_TAU, num_partitions=4).select_columns(
         ["vec_a", "vec_b"]
     )
@@ -632,14 +643,15 @@ def q_emb_l2_lsh_pairs(sf_dir: str):
     from elastiknn_ray.stages.pairs import candidate_pairs
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
-    dims = len(emb.take(1)[0]["embedding"])
+    dims = _emb_dims(sf_dir)
     bands = emb.map_batches(
         l2_bands_fn,
         fn_kwargs={"lsh": L2LshConfig(dims=dims, L=16, k=2, w=4, seed=0)},
         batch_format="pyarrow",
         batch_size=2048,
     )
-    cands = candidate_pairs(bands, cap=256)
+    # small embedding table: 8 coarse partitions, not the 64 default
+    cands = candidate_pairs(bands, cap=256, num_partitions=8)
     return verify_cosine_pairs(cands, emb, EMB_COS_TAU, num_partitions=4).select_columns(
         ["vec_a", "vec_b"]
     )
