@@ -445,6 +445,21 @@ def q_knn_jaccard_lsh(sf_dir: str):
 EMB_COS_TAU = 0.35  # sf tables: max pairwise cos ~0.48; 0.35 yields a few hundred pairs
 
 
+def _emb_queries(sf_dir: str, n: int = 10) -> dict:
+    """Query wave {ids, matrix}: the vec_id < n rows read straight from
+    Parquet (predicate pushdown; no Ray execution round-trip)."""
+    import pyarrow.dataset as pads
+
+    t = (
+        pads.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n)
+        .sort_by("vec_id")
+    )
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    qm = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    return {"ids": ids, "matrix": qm}
+
+
 def _emb_dims(sf_dir: str) -> int:
     """Embedding dimensionality straight from the Parquet file (first row of
     the first row group) — no Ray execution round-trip."""
@@ -493,10 +508,9 @@ def q_knn_exact_cosine(sf_dir: str):
     import ray.data as rd
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
-    qm = np.array(q["embedding"].tolist(), dtype=np.float64)
+    q = _emb_queries(sf_dir)
     out = knn_exact(
-        emb, {"ids": q["vec_id"].to_numpy(), "matrix": qm}, k=5
+        emb, q, k=5
     )
     return out.select_columns(["query_id", "rank", "neighbor_id"])
 
@@ -505,11 +519,8 @@ def _knn_metric_query(sf_dir: str, metric: str):
     from elastiknn_ray.stages.knn import knn_exact_metric
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
-    qm = np.array(q["embedding"].tolist(), dtype=np.float64)
-    out = knn_exact_metric(
-        emb, {"ids": q["vec_id"].to_numpy(), "matrix": qm}, k=5, metric=metric
-    )
+    q = _emb_queries(sf_dir)
+    out = knn_exact_metric(emb, q, k=5, metric=metric)
     return out.select_columns(["query_id", "rank", "neighbor_id"])
 
 
@@ -528,10 +539,9 @@ def q_knn_filtered_cosine(sf_dir: str):
     """Filter + kNN composition (SURVEY.md §2.3 Q8: elastiknn inside a bool
     filter query): brute-force cosine kNN restricted to corpus label = 0."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    q = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
-    qm = np.array(q["embedding"].tolist(), dtype=np.float64)
+    q = _emb_queries(sf_dir)
     corpus = emb.filter(expr="label == 0").select_columns(["vec_id", "embedding"])
-    out = knn_exact(corpus, {"ids": q["vec_id"].to_numpy(), "matrix": qm}, k=5)
+    out = knn_exact(corpus, q, k=5)
     return out.select_columns(["query_id", "rank", "neighbor_id"])
 
 
@@ -543,14 +553,8 @@ def q_knn_lsh_cosine(sf_dir: str):
     from elastiknn_ray.stages.knn import knn_lsh_cosine
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
-    q = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
-    qm = np.array(q["embedding"].tolist(), dtype=np.float64)
-    out = knn_lsh_cosine(
-        emb,
-        {"ids": q["vec_id"].to_numpy(), "matrix": qm},
-        k=5,
-        candidates=100,
-    )
+    q = _emb_queries(sf_dir)
+    out = knn_lsh_cosine(emb, q, k=5, candidates=100)
     return out.select_columns(["query_id", "rank", "neighbor_id"])
 
 
@@ -561,15 +565,8 @@ def q_knn_lsh_cosine_score_fn(sf_dir: str):
     from elastiknn_ray.stages.knn import knn_lsh_cosine
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
-    q = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
-    qm = np.array(q["embedding"].tolist(), dtype=np.float64)
-    out = knn_lsh_cosine(
-        emb,
-        {"ids": q["vec_id"].to_numpy(), "matrix": qm},
-        k=5,
-        candidates=100,
-        rescore=False,
-    )
+    q = _emb_queries(sf_dir)
+    out = knn_lsh_cosine(emb, q, k=5, candidates=100, rescore=False)
     return out.select_columns(["query_id", "rank", "neighbor_id"])
 
 
@@ -580,15 +577,8 @@ def q_knn_ivf_cosine(sf_dir: str):
     from elastiknn_ray.stages.ivf import knn_ivf_cosine
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
-    q = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
-    qm = np.array(q["embedding"].tolist(), dtype=np.float64)
-    out = knn_ivf_cosine(
-        emb,
-        {"ids": q["vec_id"].to_numpy(), "matrix": qm},
-        k=5,
-        n_cells=16,
-        nprobe=8,
-    )
+    q = _emb_queries(sf_dir)
+    out = knn_ivf_cosine(emb, q, k=5, n_cells=16, nprobe=8)
     return out.select_columns(["query_id", "rank", "neighbor_id"])
 
 
@@ -601,14 +591,9 @@ def q_knn_perm_cosine(sf_dir: str):
     from elastiknn_ray.stages.knn import knn_perm_cosine
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
-    q = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
-    qm = np.array(q["embedding"].tolist(), dtype=np.float64)
+    q = _emb_queries(sf_dir)
     out = knn_perm_cosine(
-        emb,
-        {"ids": q["vec_id"].to_numpy(), "matrix": qm},
-        k=5,
-        perm=PermutationLshConfig(k=16, repeating=True),
-        candidates=100,
+        emb, q, k=5, perm=PermutationLshConfig(k=16, repeating=True), candidates=100
     )
     return out.select_columns(["query_id", "rank", "neighbor_id"])
 
@@ -621,13 +606,12 @@ def q_knn_l2_lsh(sf_dir: str):
     from elastiknn_ray.stages.knn import knn_l2_lsh
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
-    q = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
-    qm = np.array(q["embedding"].tolist(), dtype=np.float64)
+    q = _emb_queries(sf_dir)
     out = knn_l2_lsh(
         emb,
-        {"ids": q["vec_id"].to_numpy(), "matrix": qm},
+        q,
         k=5,
-        lsh=L2LshConfig(dims=qm.shape[1], L=32, k=4, w=4, seed=0),
+        lsh=L2LshConfig(dims=q["matrix"].shape[1], L=32, k=4, w=4, seed=0),
         probes=3,
         candidates=100,
     )
