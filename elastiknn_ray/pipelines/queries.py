@@ -425,6 +425,32 @@ def q_knn_exact_hamming(sf_dir: str):
     return out.select_columns(["query_id", "rank", "neighbor_id"])
 
 
+def q_knn_hamming_lsh(sf_dir: str):
+    """Approximate Hamming kNN over packed SimHash signatures — the
+    HammingLshModel read path (bit-sampled bands → cut → exact
+    packed-Hamming re-score; stages/simhash.py).  Rows-only driver check;
+    recall vs the brute-force packed path pinned in tests/test_simhash.py."""
+    from elastiknn_ray.config import HammingLshConfig
+    from elastiknn_ray.stages.simhash import (
+        SimHashStage,
+        gather_query_sigs,
+        knn_hamming_lsh,
+    )
+
+    dims = 256
+    sigs = (
+        _doc_signatures(sf_dir, KNN_SHINGLE_K)
+        .map_batches(SimHashStage(dims), batch_format="pyarrow")
+        .materialize()
+    )
+    qs = gather_query_sigs(sigs, np.arange(20, dtype=np.int64))
+    out = knn_hamming_lsh(
+        sigs, qs, k=5,
+        lsh=HammingLshConfig(dims=dims, L=64, k=3, seed=0), candidates=100,
+    )
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
 def q_knn_jaccard_lsh(sf_dir: str):
     """Approximate Jaccard kNN via the full LSH read path (MinHash band
     collisions → candidate cut → exact re-score; stages/sparse_knn.py).
@@ -883,6 +909,7 @@ QUERIES = {
     "knn_exact_jaccard": q_knn_exact_jaccard,
     "knn_exact_hamming": q_knn_exact_hamming,
     "knn_jaccard_lsh": q_knn_jaccard_lsh,
+    "knn_hamming_lsh": q_knn_hamming_lsh,
     "knn_filtered_cosine": q_knn_filtered_cosine,
     "knn_lsh_cosine": q_knn_lsh_cosine,
     "knn_lsh_cosine_score_fn": q_knn_lsh_cosine_score_fn,

@@ -239,3 +239,205 @@ def verify_hamming_pairs(
         ),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------------ kNN read path
+
+def gather_query_sigs(signatures, query_ids: np.ndarray) -> dict:
+    """Collect the Q query docs' packed signatures to the driver (a query
+    wave, not the corpus): {"ids": (Q,), "sig": (Q, W) uint64}."""
+    import ray
+
+    qids = np.sort(np.asarray(query_ids, dtype=np.int64))
+    ref = ray.put(qids)
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
+        return t.filter(pa.array(ids[pos] == d))
+
+    ids_parts, sig_parts = [], []
+    for b in (
+        signatures.select_columns(["doc_id", "simhash"])
+        .map_batches(filt, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        if b.num_rows == 0:
+            continue
+        ids_parts.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+        sig_parts.append(decode_sigs(b.column("simhash")))
+    ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+    sig = np.vstack(sig_parts) if sig_parts else np.empty((0, 1), np.uint64)
+    order = np.argsort(ids, kind="stable")
+    return {"ids": ids[order], "sig": sig[order]}
+
+
+def _popcount_rows(x: np.ndarray) -> np.ndarray:
+    """Per-row popcount of a uint64 (N, W) lane matrix."""
+    return (
+        np.unpackbits(x.view(np.uint8).reshape(x.shape[0], -1), axis=1)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
+def knn_exact_hamming_sig(signatures, query_sigs: dict, k: int, dims: int):
+    """Brute-force Hamming kNN over packed signatures (H7's packed fast
+    path as a query): per batch XOR + popcount per query, partial top-k,
+    global merge.  Score = (dims - hammingDist) / dims (ExactModel.java:19-23)."""
+    from elastiknn_ray.stages.knn import topk_per_query
+
+    qids = query_sigs["ids"]
+    qsig = query_sigs["sig"]
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        sig = decode_sigs(batch.column("simhash"))
+        ids = batch.column("doc_id").to_numpy()
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, len(ids))
+        for qi in range(len(qids)):
+            dist = _popcount_rows(sig ^ qsig[qi][None, :])
+            score = (dims - dist) / float(dims)
+            top = np.argpartition(-score, kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
+            out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
+            out_n.append(ids[top])
+            out_s.append(score[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partials = signatures.map_batches(
+        score_batch, batch_format="pyarrow", batch_size=8192
+    )
+    return topk_per_query(partials, k)
+
+
+def knn_hamming_lsh(
+    signatures,
+    query_sigs: dict,
+    k: int,
+    *,
+    lsh: HammingLshConfig,
+    candidates: int = 100,
+    num_partitions: int = 16,
+):
+    """Approximate Hamming kNN — the HammingLshModel read path: bit-sampled
+    band collisions (HammingLshModel.java:95-127) → per-query candidate cut
+    → exact packed-Hamming re-score → top-k."""
+    import pandas as pd
+
+    from elastiknn_ray.stages.knn import QueryHashIndex, topk_per_query
+    from elastiknn_ray.stages.pairs import grouped_pair_count
+
+    params = derive_bitsample(lsh)
+    qh = bitsample_band_hashes(query_sigs["sig"], params)  # (Q, L)
+    qindex = QueryHashIndex(query_sigs["ids"], qh)
+
+    bands = signatures.map_batches(
+        bitsample_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow"
+    )
+    hits = bands.map_batches(
+        lambda t: qindex.expand(
+            t.column("band_hash").to_numpy(zero_copy_only=False),
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+        ),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    counts = grouped_pair_count(
+        hits, "query_id", "neighbor_id", count_col="n_bands",
+        num_partitions=num_partitions,
+    )
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["n_bands", "neighbor_id"], ascending=[False, True]
+        ).head(candidates)
+
+    cand = counts.groupby("query_id").map_groups(cut, batch_format="pandas")
+
+    # exact re-score: broadcast the candidate docs' packed signatures once
+    # (8*W bytes per doc; the same shard-ref gather as the verify stage
+    # would lift this above BROADCAST_DOC_LIMIT corpora)
+    import ray
+
+    q_ref = ray.put(query_sigs)
+    cand = cand.materialize()
+    cand_ids = np.unique(
+        np.concatenate(
+            [
+                b.column("neighbor_id").to_numpy(zero_copy_only=False)
+                for b in cand.iter_batches(batch_format="pyarrow")
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    ids_ref = ray.put(cand_ids)
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return t.filter(pa.array(np.zeros(len(d), dtype=bool)))
+        p = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
+        return t.filter(pa.array(ids[p] == d))
+
+    hits_ds = (
+        signatures.select_columns(["doc_id", "simhash"])
+        .map_batches(filt, batch_format="pyarrow")
+        .materialize()
+    )
+
+    class _Rescore:
+        def __init__(self, shard_refs, q_ref, dims):
+            tables = ray.get(list(shard_refs))
+            ids_parts, sig_parts = [], []
+            for t in tables:
+                if t.num_rows == 0:
+                    continue
+                ids_parts.append(t.column("doc_id").to_numpy(zero_copy_only=False))
+                sig_parts.append(decode_sigs(t.column("simhash")))
+            if ids_parts:
+                ids = np.concatenate(ids_parts)
+                sig = np.vstack(sig_parts)
+                order = np.argsort(ids, kind="stable")
+                self.ids, self.sig = ids[order], sig[order]
+            else:
+                self.ids = np.empty(0, np.int64)
+                self.sig = np.empty((0, 1), np.uint64)
+            qd = ray.get(q_ref)
+            self.qids, self.qsig = qd["ids"], qd["sig"]
+            self.dims = dims
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            qi = t.column("query_id").to_numpy(zero_copy_only=False)
+            ni = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+            sa = self.qsig[np.searchsorted(self.qids, qi)]
+            sb = self.sig[_checked_lookup(self.ids, ni)]
+            dist = _popcount_rows(sa ^ sb)
+            score = (self.dims - dist) / float(self.dims)
+            return pa.table(
+                {
+                    "query_id": pa.array(qi, pa.int64()),
+                    "neighbor_id": pa.array(ni, pa.int64()),
+                    "score": pa.array(score, pa.float64()),
+                }
+            )
+
+    scored = cand.map_batches(
+        _Rescore,
+        fn_constructor_kwargs={
+            "shard_refs": hits_ds.to_arrow_refs(),
+            "q_ref": q_ref,
+            "dims": lsh.dims,
+        },
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, 8),
+    )
+    return topk_per_query(scored, k)

@@ -153,3 +153,49 @@ def test_simhash_pipeline_deterministic(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_knn_hamming_lsh_recall_vs_exact(ray_session):
+    """HammingLsh read path (bit-sampled bands -> cut -> packed-Hamming
+    rescore) recovers the brute-force packed-Hamming top-k."""
+    import numpy as np
+    import ray.data as rd
+
+    from elastiknn_ray.config import HammingLshConfig, ShingleConfig
+    from elastiknn_ray.sources.synth import pages_table
+    from elastiknn_ray.stages.hashing import SignatureStage, prepare_batch
+    from elastiknn_ray.stages.simhash import (
+        SimHashStage,
+        gather_query_sigs,
+        knn_exact_hamming_sig,
+        knn_hamming_lsh,
+    )
+
+    dims = 256
+    docs = rd.from_arrow(pages_table(300, 11)).map_batches(
+        prepare_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "text"])
+    sigs = docs.map_batches(
+        SignatureStage(ShingleConfig(k=3)), batch_format="pyarrow"
+    ).map_batches(SimHashStage(dims), batch_format="pyarrow").materialize()
+
+    all_ids = np.sort(
+        np.concatenate(
+            [
+                b.column("doc_id").to_numpy(zero_copy_only=False)
+                for b in sigs.iter_batches(batch_format="pyarrow")
+            ]
+        )
+    )
+    qs = gather_query_sigs(sigs, all_ids[:10])
+    exact = knn_exact_hamming_sig(sigs, qs, k=5, dims=dims).to_pandas()
+    lsh = knn_hamming_lsh(
+        sigs, qs, k=5,
+        lsh=HammingLshConfig(dims=dims, L=64, k=3, seed=0), candidates=100,
+    ).to_pandas()
+    e = {q: set(g["neighbor_id"]) for q, g in exact.groupby("query_id")}
+    l = {q: set(g["neighbor_id"]) for q, g in lsh.groupby("query_id")}
+    hits = sum(len(e[q] & l.get(q, set())) for q in e)
+    total = sum(len(v) for v in e.values())
+    assert total > 0
+    assert hits / total >= 0.8, hits / total
