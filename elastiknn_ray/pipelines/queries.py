@@ -704,6 +704,26 @@ def q_image_features(sf_dir: str):
     return out.select_columns(["image_id", "height", "width", "channels"])
 
 
+def q_video_frames(sf_dir: str):
+    """Video frame-sample + per-frame features over a synthetic FAKE-codec
+    video table (rows-only driver check; ``sf_dir`` unused) — decode-only-
+    sampled-frames semantics with actor-pool plumbing and small batches for
+    large blobs."""
+    import ray.data as rd
+
+    from elastiknn_ray.stages.multimodal import VideoFrameSampleStage, fake_videos_table
+
+    ds = rd.from_arrow(fake_videos_table(64, seed=13))
+    out = ds.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"every": 5, "max_frames": 6, "thumb": 8, "grid": 2},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["video_id", "frame_ix"])
+
+
 def q_audio_chunks(sf_dir: str):
     """Audio chunking + RMS energy over a synthetic FAKE-codec audio table
     (rows-only driver check; ``sf_dir`` unused)."""
@@ -920,6 +940,7 @@ QUERIES = {
     "perm_hashes": q_perm_hashes,
     "image_features": q_image_features,
     "audio_chunks": q_audio_chunks,
+    "video_frames": q_video_frames,
     "events_first_by_user_type": q_events_first_by_user_type,
     "events_agg": q_events_agg,
     "sessions": q_sessions,

@@ -233,3 +233,79 @@ def fake_audio_table(n: int, seed: int = 0, rate: int = 8000) -> pa.Table:
     return pa.table(
         {"audio_id": pa.array(ids, pa.int64()), "audio": pa.array(bufs, pa.binary())}
     )
+
+
+FAKE_VIDEO_MAGIC = b"FAKEVID1"
+
+
+def encode_fake_video(frames: np.ndarray) -> bytes:
+    """In-repo deterministic video 'codec': magic + (n, h, w, c) int32 dims +
+    raw uint8 frames (n, h, w, c)."""
+    n, h, w, c = frames.shape
+    head = FAKE_VIDEO_MAGIC + np.array([n, h, w, c], dtype=np.int32).tobytes()
+    return head + np.ascontiguousarray(frames).tobytes()
+
+
+class VideoFrameSampleStage:
+    """(video_id, video binary) → one row per SAMPLED frame with a
+    thumbnail + patch-feature embedding (frame-sample plan from
+    ``sample_frame_indices``; decode-only-sampled-frames semantics — a real
+    codec seeks keyframes, the fake codec slices the frame array).
+
+    Actor pool with SMALL batch_size: raw video payloads are the largest
+    blobs in the corpus (batch x concurrency must fit worker heap)."""
+
+    def __init__(self, every: int = 5, max_frames: int = 8, thumb: int = 16, grid: int = 2):
+        self.every = every
+        self.max_frames = max_frames
+        self.thumb = thumb
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_ix, thumbs, feats, chans = [], [], [], [], []
+        for vid, buf in zip(
+            batch.column("video_id").to_pylist(), batch.column("video").to_pylist()
+        ):
+            if buf[:8] != FAKE_VIDEO_MAGIC:
+                raise NotImplementedError(
+                    "no video decoder available (stubbed; plug pyav/ffmpeg "
+                    "here — the frame-sampling plan and per-frame compute "
+                    "below are real)"
+                )
+            n, h, w, c = np.frombuffer(buf[8:24], dtype=np.int32)
+            frames = np.frombuffer(buf[24:], dtype=np.uint8).reshape(n, h, w, c)
+            for ix in sample_frame_indices(n, self.every, self.max_frames):
+                f = frames[ix]
+                out_id.append(vid)
+                out_ix.append(int(ix))
+                thumbs.append(resize_nearest(f, self.thumb, self.thumb).tobytes())
+                feats.append(patch_features(f, self.grid))
+                chans.append(c)
+        dim = self.grid * self.grid * (chans[0] if chans else 3)
+        return pa.table(
+            {
+                "video_id": pa.array(out_id, pa.int64()),
+                "frame_ix": pa.array(out_ix, pa.int64()),
+                "thumb": pa.array(thumbs, pa.binary()),
+                "embedding": pa.array(
+                    [f.astype(np.float32) for f in feats],
+                    pa.list_(pa.float32(), dim),
+                ),
+            }
+        )
+
+
+def fake_videos_table(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic synthetic video table (FAKE codec)."""
+    ids, bufs = [], []
+    for i in range(n):
+        rng = np.random.default_rng((seed, i, 0xA1))
+        nf = int(rng.integers(8, 40))
+        h = int(rng.integers(16, 32))
+        w = int(rng.integers(16, 32))
+        frames = rng.integers(0, 256, (nf, h, w, 3)).astype(np.uint8)
+        ids.append(i)
+        bufs.append(encode_fake_video(frames))
+    return pa.table(
+        {"video_id": pa.array(ids, pa.int64()), "video": pa.array(bufs, pa.binary())}
+    )

@@ -253,3 +253,37 @@ def test_image_stage_consumes_real_png(ray_session):
     ).to_pandas()
     assert (out["height"] == 24).all() and (out["width"] == 31).all()
     assert len(out["embedding"].iloc[0]) == 2 * 2 * 3
+
+
+def test_video_frame_sample_stage(ray_session):
+    """Video stage: frame-sampling plan + per-frame thumbnail/features over
+    the fake codec; only planned frames are emitted."""
+    import numpy as np
+    import ray.data as rd
+
+    from elastiknn_ray.stages.multimodal import (
+        VideoFrameSampleStage,
+        fake_videos_table,
+        sample_frame_indices,
+    )
+
+    tbl = fake_videos_table(6, seed=3)
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            VideoFrameSampleStage,
+            fn_constructor_kwargs={"every": 5, "max_frames": 4, "thumb": 8, "grid": 2},
+            batch_format="pyarrow",
+            batch_size=2,
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+    )
+    assert len(out) > 0
+    # per-video row count matches the sampling plan on the encoded n_frames
+    src = tbl.to_pandas()
+    for vid, buf in zip(src["video_id"], src["video"]):
+        n = int(np.frombuffer(bytes(buf[8:12]), dtype=np.int32)[0])
+        expect = len(sample_frame_indices(n, 5, 4))
+        assert (out["video_id"] == vid).sum() == expect, vid
+    assert len(out["embedding"].iloc[0]) == 2 * 2 * 3
