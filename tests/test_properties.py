@@ -236,3 +236,102 @@ def test_shingle_batch_equals_per_doc(doc_words):
         got = val_b[off_b[i] : off_b[i + 1]].tolist()
         want = val_1[off_1[0] : off_1[1]].tolist()
         assert got == want, (i, t)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 4),  # channels
+    st.integers(1, 12),  # height
+    st.integers(1, 12),  # width
+    st.integers(0, 2**31 - 1),
+)
+def test_png_codec_roundtrip_fuzz(ch, h, w, seed):
+    """PNG encode→decode is the identity for every 8-bit shape/channel."""
+    import numpy as np
+
+    from elastiknn_ray.stages.codecs import png_decode, png_encode
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+    out = png_decode(png_encode(img))
+    assert out.shape == img.shape
+    assert (out == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=40),  # corpus hashes
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 3)),  # (hash, owner)
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_query_hash_index_expand_matches_bruteforce(corpus, entries):
+    """QueryHashIndex.expand_full emits exactly one row per (query entry,
+    matching corpus row) — verified against a nested-loop oracle."""
+    import numpy as np
+
+    from elastiknn_ray.stages.knn import QueryHashIndex
+
+    flat = np.array([h for h, _ in entries], dtype=np.uint64)
+    owner = np.array([o for _, o in entries], dtype=np.int64)
+    qids = np.arange(4, dtype=np.int64) * 10
+    idx = QueryHashIndex(qids, None, _flat=flat, _owner=owner)
+    hashes = np.array(corpus, dtype=np.uint64)
+    q_ix, rows, flat_pos = idx.expand_full(hashes)
+    got = sorted(zip(q_ix.tolist(), rows.tolist()))
+    want = sorted(
+        (int(o), r)
+        for r, ch in enumerate(corpus)
+        for hh, o in entries
+        if hh == ch
+    )
+    assert got == want
+    # flat positions map back to entries with the same hash value
+    assert (idx.flat_sorted[flat_pos] == hashes[rows]).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 8), st.integers(1, 4)), min_size=1, max_size=12),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 8), st.integers(1, 4)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_capped_hits_property(query_terms, corpus_rows):
+    """count_capped_hits == the scalar reference counter: for every doc,
+    sum over query entries of min(freq_q, freq_d of the matching term)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elastiknn_ray.stages.knn import QueryHashIndex, count_capped_hits
+
+    flat = np.array([h for h, _ in query_terms], dtype=np.uint64)
+    freq = np.array([f for _, f in query_terms], dtype=np.int64)
+    qindex = QueryHashIndex(
+        np.array([0], np.int64), None,
+        _flat=flat, _owner=np.zeros(len(flat), np.int64),
+    )
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _, _ in corpus_rows], pa.int64()),
+                "hash": pa.array(
+                    np.array([h for _, h, _ in corpus_rows], np.uint64), pa.uint64()
+                ),
+                "freq": pa.array([f for _, _, f in corpus_rows], pa.int64()),
+            }
+        )
+    )
+    out = count_capped_hits(corpus, qindex, freq[qindex.order]).to_pandas()
+    got = {} if out.empty else dict(zip(out["neighbor_id"], out["hits"]))
+    want: dict = {}
+    for d, hh, fd in corpus_rows:
+        for hq, fq in query_terms:
+            if hq == hh:
+                want[d] = want.get(d, 0) + min(fq, fd)
+    assert got == {k: v for k, v in want.items() if v > 0}
