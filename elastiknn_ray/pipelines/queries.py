@@ -208,6 +208,44 @@ def q_dup_clusters_exact(sf_dir: str):
     return connected_components(edges)
 
 
+def q_shingle_posting_histogram(sf_dir: str):
+    """Posting-size histogram over the shingle inverted index — the hot-key
+    diagnostic behind the hot_band_cap policy (SURVEY.md §4): how many
+    shingles have posting lists of each size.  Distinct-count + double
+    aggregation with a bit-exact SQL oracle."""
+    from ray.data.aggregate import Count
+
+    sigs = _doc_signatures(sf_dir)
+    bands = sigs.map_batches(_shingle_bands, batch_format="pyarrow")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band_hash": t.column("band_hash"),
+                "part": pa.array(
+                    t.column("band_hash").to_numpy(zero_copy_only=False)
+                    % np.uint64(16),
+                    pa.uint64(),
+                ),
+            }
+        )
+
+    def posting_sizes(t: pa.Table) -> pa.Table:
+        h = t.column("band_hash").to_numpy(zero_copy_only=False)
+        _, cnt = np.unique(h, return_counts=True)
+        return pa.table({"posting_size": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    sizes = (
+        bands.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda t: posting_sizes(t.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    return sizes.groupby("posting_size").aggregate(Count(alias_name="n_shingles"))
+
+
 def q_lsh_dup_pairs(sf_dir: str):
     """MinHash-LSH near-dup pairs over documents (flagship path; approximate
     candidate generation + exact verification — no closed-form SQL oracle).
@@ -769,6 +807,16 @@ def q_sessions(sf_dir: str):
     return sessionize(ds, num_partitions=16)
 
 
+def q_events_rolling_1h(sf_dir: str):
+    """RANGE-window trailing count per event: the user's events within the
+    preceding hour (inclusive) — windowed aggregate with an ANSI
+    window-function oracle."""
+    from elastiknn_ray.stages.windows import trailing_window_count
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return trailing_window_count(ds, num_partitions=16)
+
+
 def q_top_orders_per_customer(sf_dir: str):
     """Per-group top-k: each customer's 3 priciest orders with ranks."""
     from elastiknn_ray.stages.windows import group_topk
@@ -909,6 +957,7 @@ QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_shingle_pairs": q_exact_shingle_pairs,
     "dup_clusters_exact": q_dup_clusters_exact,
+    "shingle_posting_histogram": q_shingle_posting_histogram,
     "lsh_dup_pairs": q_lsh_dup_pairs,
     "lsh_clusters": q_lsh_clusters,
     "simhash_pairs": q_simhash_pairs,
@@ -944,6 +993,7 @@ QUERIES = {
     "events_first_by_user_type": q_events_first_by_user_type,
     "events_agg": q_events_agg,
     "sessions": q_sessions,
+    "events_rolling_1h": q_events_rolling_1h,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_without_orders": q_customers_without_orders,
     "doc_length_histogram": q_doc_length_histogram,
@@ -1008,6 +1058,11 @@ ORACLE_SQL = {
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
         FROM documents GROUP BY text""",
     "exact_shingle_pairs": f"WITH {_SHINGLE_CTE} SELECT * FROM pairs",
+    "shingle_posting_histogram": f"""
+        WITH {_SHINGLE_CTE}
+        SELECT cnt AS posting_size, COUNT(*) AS n_shingles
+        FROM (SELECT s, COUNT(*) AS cnt FROM sd GROUP BY s)
+        GROUP BY cnt""",
     "knn_exact_jaccard": f"""
         WITH {_SHINGLE_CTE_K3},
         dp AS (
@@ -1185,6 +1240,12 @@ ORACLE_SQL = {
                first(event_id ORDER BY ts, event_id) AS first_event_id,
                last(event_id ORDER BY ts, event_id) AS last_event_id
         FROM s GROUP BY user_id, session_ix""",
+    "events_rolling_1h": """
+        SELECT event_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW) AS n_trailing
+        FROM events""",
     "top_orders_per_customer": """
         SELECT o_custkey, o_orderkey, rank FROM (
           SELECT o_custkey, o_orderkey,

@@ -98,3 +98,42 @@ def group_topk(
     return _coarse(ds, keys, num_partitions).map_groups(
         lambda df: kernel(df.drop(columns=["_part"])), batch_format="pandas"
     )
+
+
+def trailing_window_count(
+    events,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_us: int = 60 * 60 * 1_000_000,
+    num_partitions: int = 32,
+):
+    """RANGE-window trailing count: for each event, how many of the same
+    user's events fall in [ts - window, ts] (inclusive both ends — ANSI
+    RANGE BETWEEN ... PRECEDING AND CURRENT ROW semantics, so equal-ts rows
+    count together regardless of order).
+
+    Same physical shape as the other windowed ops: one coarse shuffle on the
+    user key, then a vectorized searchsorted sweep per partition.
+    Returns (event_id, n_trailing).
+    """
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([user_col, ts_col, id_col])
+        ts = part[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        user = part[user_col].to_numpy()
+        ids = part[id_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, user[1:] != user[:-1]])
+        ends = np.r_[starts[1:], len(user)]
+        n = np.empty(len(user), dtype=np.int64)
+        for s, e in zip(starts, ends):  # per USER run — vectorized inside
+            t = ts[s:e]
+            lo = np.searchsorted(t, t - window_us, side="left")
+            hi = np.searchsorted(t, t, side="right")
+            n[s:e] = hi - lo
+        return pd.DataFrame({id_col: ids, "n_trailing": n})
+
+    return _coarse(events, [user_col], num_partitions).map_groups(
+        lambda df: kernel(df.drop(columns=["_part"])), batch_format="pandas"
+    )
