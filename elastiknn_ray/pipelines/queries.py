@@ -122,6 +122,28 @@ def q_docs_by_lang(sf_dir: str):
     )
 
 
+#: Knuth multiplicative-hash sampling constant (public knowledge)
+_SAMPLE_MULT = 2654435761
+_SAMPLE_MOD = 1 << 32
+
+
+def q_sampled_docs(sf_dir: str, rate_pct: int = 5):
+    """Deterministic seeded sampling (SURVEY.md §2.6 sampling row): keep a
+    doc iff (doc_id * 2654435761) mod 2^32 falls in the lowest rate_pct% —
+    pure integer arithmetic, so the SQL oracle reproduces the exact sample.
+    Stable across runs, partitionings, and engines (no RNG state)."""
+    threshold = (_SAMPLE_MOD * rate_pct) // 100
+
+    def f(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (d * _SAMPLE_MULT) % _SAMPLE_MOD < threshold
+        return t.filter(pa.array(keep)).select(["doc_id", "n_chars"])
+
+    return _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def q_exact_dedup_docs(sf_dir: str):
     """Exact dedup: representative (min doc_id) + multiplicity per distinct
     text, keyed by 64-bit content hash (stages/dedup.py)."""
@@ -954,6 +976,7 @@ QUERIES = {
     "token_counts_regex": q_token_counts_regex,
     "doc_stats": q_doc_stats,
     "docs_by_lang": q_docs_by_lang,
+    "sampled_docs": q_sampled_docs,
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_shingle_pairs": q_exact_shingle_pairs,
     "dup_clusters_exact": q_dup_clusters_exact,
@@ -1054,6 +1077,9 @@ ORACLE_SQL = {
         SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
                MAX(n_chars) AS max_chars
         FROM documents GROUP BY lang""",
+    "sampled_docs": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 < 214748364""",
     "exact_dedup_docs": """
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
         FROM documents GROUP BY text""",
