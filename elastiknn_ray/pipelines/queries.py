@@ -122,6 +122,65 @@ def q_docs_by_lang(sf_dir: str):
     )
 
 
+def q_frequent_tokens(sf_dir: str, topk: int = 50):
+    """Vocabulary building: the corpus's top-k tokens by DOCUMENT frequency
+    (distinct per doc), deterministic (count desc, token asc) order.  The
+    per-batch kernel pre-aggregates (combiner) so the shuffle moves one row
+    per (batch, distinct token), never raw token streams."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(pc.utf8_lower(t.column("text")), "")
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.values.slice(off[0], off[-1] - off[0])
+        off = off - off[0]
+        words = flat.to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        lens = pa.compute.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep = lens > 0
+        words, doc_of = words[keep], doc_of[keep]
+        codes, uniq = pd.factorize(words, sort=False)
+        # distinct (doc, token) pairs, then per-token doc counts (combiner)
+        key = doc_of * (len(uniq) + 1) + codes
+        ukey = np.unique(key)
+        tok_ix = (ukey % (len(uniq) + 1)).astype(np.int64)
+        cnt = np.bincount(tok_ix, minlength=len(uniq)).astype(np.int64)
+        nz = cnt > 0
+        return pa.table(
+            {
+                "token": pa.array(uniq[nz], pa.string()),
+                "n_docs": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    return (
+        counts.sort(["n_docs", "token"], descending=[True, False])
+        .limit(topk)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "token": t.column("token"),
+                    "n_docs": t.column("n_docs").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 #: Knuth multiplicative-hash sampling constant (public knowledge)
 _SAMPLE_MULT = 2654435761
 _SAMPLE_MOD = 1 << 32
@@ -977,6 +1036,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "docs_by_lang": q_docs_by_lang,
     "sampled_docs": q_sampled_docs,
+    "frequent_tokens": q_frequent_tokens,
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_shingle_pairs": q_exact_shingle_pairs,
     "dup_clusters_exact": q_dup_clusters_exact,
@@ -1077,6 +1137,13 @@ ORACLE_SQL = {
         SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
                MAX(n_chars) AS max_chars
         FROM documents GROUP BY lang""",
+    "frequent_tokens": """
+        WITH tok AS (
+          SELECT DISTINCT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+          FROM documents)
+        SELECT token, COUNT(*) AS n_docs FROM tok
+        GROUP BY token ORDER BY n_docs DESC, token LIMIT 50""",
     "sampled_docs": """
         SELECT doc_id, n_chars FROM documents
         WHERE (doc_id * 2654435761) % 4294967296 < 214748364""",
