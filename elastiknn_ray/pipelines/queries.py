@@ -122,6 +122,42 @@ def q_docs_by_lang(sf_dir: str):
     )
 
 
+def q_doc_length_deciles(sf_dir: str):
+    """EXACT order statistics at scale via the histogram pattern: deciles of
+    n_chars computed from per-value counts (a small groupby) + a driver-side
+    cumulative walk — no global sort, valid whenever the value cardinality
+    is bounded (lengths, scores, bucketed floats).  Decile d = the value at
+    0-based rank floor(d * (N-1) / 10) of the sorted multiset."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    counts = (
+        _read(sf_dir, "documents", ["n_chars"])
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    vals = counts["n_chars"].to_numpy()
+    cnt = counts["cnt"].to_numpy().astype(np.int64)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1]) if len(cum) else 0
+    out_d, out_v = [], []
+    for d in range(11):
+        rank = d * (n - 1) // 10
+        ix = int(np.searchsorted(cum, rank + 1))
+        out_d.append(d)
+        out_v.append(int(vals[ix]))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "decile": pa.array(out_d, pa.int64()),
+                "n_chars": pa.array(out_v, pa.int64()),
+            }
+        )
+    )
+
+
 def q_frequent_tokens(sf_dir: str, topk: int = 50):
     """Vocabulary building: the corpus's top-k tokens by DOCUMENT frequency
     (distinct per doc), deterministic (count desc, token asc) order.  The
@@ -1037,6 +1073,7 @@ QUERIES = {
     "docs_by_lang": q_docs_by_lang,
     "sampled_docs": q_sampled_docs,
     "frequent_tokens": q_frequent_tokens,
+    "doc_length_deciles": q_doc_length_deciles,
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_shingle_pairs": q_exact_shingle_pairs,
     "dup_clusters_exact": q_dup_clusters_exact,
@@ -1137,6 +1174,16 @@ ORACLE_SQL = {
         SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
                MAX(n_chars) AS max_chars
         FROM documents GROUP BY lang""",
+    "doc_length_deciles": """
+        WITH r AS (
+          SELECT n_chars,
+                 row_number() OVER (ORDER BY n_chars) - 1 AS rk,
+                 COUNT(*) OVER () AS n
+          FROM documents),
+        d AS (SELECT unnest(range(0, 11)) AS decile)
+        SELECT d.decile, r.n_chars
+        FROM d JOIN r ON r.rk = d.decile * (r.n - 1) // 10
+        QUALIFY row_number() OVER (PARTITION BY d.decile ORDER BY r.rk) = 1""",
     "frequent_tokens": """
         WITH tok AS (
           SELECT DISTINCT doc_id, unnest(list_filter(
