@@ -69,7 +69,13 @@ TOKEN_REGEX = r"\w+|[^\w\s]"
 
 def q_token_counts_regex(sf_dir: str):
     """Token counting, regex mode (word runs + punctuation marks) — RE2
-    count_substring_regex, the same engine the DuckDB oracle uses."""
+    count_substring_regex, the same engine the DuckDB oracle uses.
+
+    Semantics note (intentional): RE2's ``\\w`` is ASCII-only, so non-ASCII
+    letters fall into ``[^\\w\\s]`` and count one token per character.  This
+    is the documented contract — engine and oracle agree exactly because
+    both run RE2; Unicode-word semantics would need ``[\\p{L}\\p{N}_]`` on
+    BOTH sides and is deliberately not what this operator does."""
 
     def f(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -226,12 +232,15 @@ def q_sampled_docs(sf_dir: str, rate_pct: int = 5):
     """Deterministic seeded sampling (SURVEY.md §2.6 sampling row): keep a
     doc iff (doc_id * 2654435761) mod 2^32 falls in the lowest rate_pct% —
     pure integer arithmetic, so the SQL oracle reproduces the exact sample.
-    Stable across runs, partitionings, and engines (no RNG state)."""
+    Stable across runs, partitionings, and engines (no RNG state).  The
+    multiply runs in uint64 (wrap-exact mod 2^64, then mask to 2^32) so
+    doc_ids beyond ~3.49e9 agree with a mod-2^32 SQL oracle instead of
+    silently wrapping in int64."""
     threshold = (_SAMPLE_MOD * rate_pct) // 100
 
     def f(t: pa.Table) -> pa.Table:
-        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = (d * _SAMPLE_MULT) % _SAMPLE_MOD < threshold
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = ((d * np.uint64(_SAMPLE_MULT)) & np.uint64(_SAMPLE_MOD - 1)) < threshold
         return t.filter(pa.array(keep)).select(["doc_id", "n_chars"])
 
     return _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(

@@ -114,7 +114,15 @@ def knn_exact_metric(embeddings, query_ids_matrix: dict, k: int, metric: str):
             )
             dist = np.sqrt(np.maximum(d2, 0.0))
         elif metric == "l1":
-            dist = np.abs(qm[:, None, :] - m[None, :, :]).sum(axis=2)
+            # Chunk over queries so the (Qc, batch, dims) abs-diff tensor
+            # stays ~256 MB regardless of wave size — the unchunked form is
+            # ~250 GB at (10k queries, 4096-row batches, 768 dims).
+            nb_rows, dims = m.shape
+            qc = max(1, int((32 << 20) // max(1, nb_rows * dims)))
+            dist = np.empty((qm.shape[0], nb_rows), dtype=np.float64)
+            for s in range(0, qm.shape[0], qc):
+                e = min(s + qc, qm.shape[0])
+                dist[s:e] = np.abs(qm[s:e, None, :] - m[None, :, :]).sum(axis=2)
         else:
             raise ValueError(metric)
         scores = 1.0 / (1.0 + dist)

@@ -254,6 +254,8 @@ def gather_query_sigs(signatures, query_ids: np.ndarray) -> dict:
     def filt(t: pa.Table) -> pa.Table:
         ids = ray.get(ref)
         d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:  # empty query wave: keep schema, drop all rows
+            return t.slice(0, 0)
         pos = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
         return t.filter(pa.array(ids[pos] == d))
 
@@ -299,7 +301,11 @@ def knn_exact_hamming_sig(signatures, query_sigs: dict, k: int, dims: int):
         for qi in range(len(qids)):
             dist = _popcount_rows(sig ^ qsig[qi][None, :])
             score = (dims - dist) / float(dims)
-            top = np.argpartition(-score, kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
+            # Deterministic partial cut: scores take only dims+1 discrete
+            # values so ties at the boundary are common — order by
+            # (score desc, neighbor_id asc) exactly like the global top-k
+            # merge, so partitioning never changes which tied doc survives.
+            top = np.lexsort((ids, -score))[:kk]
             out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
             out_n.append(ids[top])
             out_s.append(score[top])

@@ -45,6 +45,8 @@ def gather_query_sets(signatures, query_ids: np.ndarray) -> dict:
     def filt(t: pa.Table) -> pa.Table:
         ids = ray.get(ref)
         d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:  # empty query wave: keep schema, drop all rows
+            return t.slice(0, 0)
         pos = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
         return t.filter(pa.array(ids[pos] == d))
 

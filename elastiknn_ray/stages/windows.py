@@ -124,15 +124,35 @@ def trailing_window_count(
         ts = part[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
         user = part[user_col].to_numpy()
         ids = part[id_col].to_numpy()
+        if len(user) == 0:
+            return pd.DataFrame(
+                {id_col: ids, "n_trailing": np.empty(0, np.int64)}
+            )
+        # All user runs at once (no per-group Python): remap each run's
+        # timestamps onto one globally sorted axis by adding a per-run base
+        # that leaves a > window_us gap between consecutive runs, so a
+        # single pair of searchsorted sweeps answers every run and a query
+        # (t - window) can never reach into the previous user's run.
         starts = np.flatnonzero(np.r_[True, user[1:] != user[:-1]])
         ends = np.r_[starts[1:], len(user)]
-        n = np.empty(len(user), dtype=np.int64)
-        for s, e in zip(starts, ends):  # per USER run — vectorized inside
-            t = ts[s:e]
-            lo = np.searchsorted(t, t - window_us, side="left")
-            hi = np.searchsorted(t, t, side="right")
-            n[s:e] = hi - lo
-        return pd.DataFrame({id_col: ids, "n_trailing": n})
+        run_of_row = np.cumsum(np.r_[False, user[1:] != user[:-1]])
+        span = ts[ends - 1] - ts[starts]  # per-run duration (>= 0)
+        base = np.zeros(len(starts), dtype=np.int64)
+        np.cumsum(span[:-1] + (window_us + 1), out=base[1:])
+        if len(starts) and base[-1] + span[-1] > (1 << 62):
+            # Pathological cumulative span (would overflow int64 headroom):
+            # fall back to the per-run sweep — correctness over speed.
+            n = np.empty(len(user), dtype=np.int64)
+            for s, e in zip(starts, ends):
+                t = ts[s:e]
+                lo = np.searchsorted(t, t - window_us, side="left")
+                hi = np.searchsorted(t, t, side="right")
+                n[s:e] = hi - lo
+            return pd.DataFrame({id_col: ids, "n_trailing": n})
+        shifted = base[run_of_row] + (ts - ts[starts][run_of_row])
+        lo = np.searchsorted(shifted, shifted - window_us, side="left")
+        hi = np.searchsorted(shifted, shifted, side="right")
+        return pd.DataFrame({id_col: ids, "n_trailing": hi - lo})
 
     return _coarse(events, [user_col], num_partitions).map_groups(
         lambda df: kernel(df.drop(columns=["_part"])), batch_format="pandas"
