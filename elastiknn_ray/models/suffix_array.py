@@ -23,36 +23,82 @@ from __future__ import annotations
 import numpy as np
 
 
-def suffix_array(s: np.ndarray) -> np.ndarray:
-    """Suffix array of a uint8 array via prefix doubling + lexsort.
+def suffix_array(s: np.ndarray, max_depth: int | None = None) -> np.ndarray:
+    """Suffix array of a uint8 array via prefix doubling, with two classic
+    accelerations over naive Manber–Myers (both public-knowledge; cf.
+    Larsson & Sadakane 1999, "Faster suffix sorting"):
 
-    Ranks are int32 (partitions are far below 2^31 bytes), halving the
-    memory traffic of every doubling round — the dominant cost.
+    - **8-byte seed**: the initial order sorts one big-endian-packed uint64
+      of each suffix's first 8 bytes — one argsort replaces the first three
+      doubling rounds.
+    - **tie-only refinement**: each round lexsorts ONLY the positions whose
+      rank is still shared (runs of length > 1); resolved suffixes never
+      re-enter a sort.  For real text the unresolved set collapses
+      geometrically, so total sort work is ~O(n log n) on the duplicated
+      part only, instead of every round paying a full-array lexsort.
+
+    With ``max_depth = D``, doubling stops once suffixes are ordered by
+    their first >= D bytes; ties beyond that depth keep an arbitrary (but
+    grouped) order.  Sound for duplicate detection capped at LCP <= D:
+    any set of suffixes sharing a >= L prefix (L <= D) is still contiguous,
+    and the minimum adjacent LCP over a block equals the block's common
+    prefix length under ANY internal permutation (some adjacent pair must
+    straddle the block's first split point).
+
+    Ranks are int32 (partitions are far below 2^31 bytes).
     """
     n = len(s)
     if n == 0:
         return np.empty(0, dtype=np.int64)
     assert n < 2**31 - 1
-    rank = s.astype(np.int32)
-    k = 1
-    while True:
-        key2 = np.full(n, -1, dtype=np.int32)
-        key2[: n - k] = rank[k:]
-        order = np.lexsort((key2, rank))
-        r = rank[order]
-        k2 = key2[order]
-        changed = np.empty(n, dtype=np.int32)
-        changed[0] = 1
-        changed[1:] = ((r[1:] != r[:-1]) | (k2[1:] != k2[:-1])).astype(np.int32)
-        new_rank = np.empty(n, dtype=np.int32)
-        new_rank[order] = np.cumsum(changed, dtype=np.int32) - 1
-        rank = new_rank
-        if rank[order[-1]] == n - 1:
-            break
+    # seed: first 8 bytes of each suffix packed big-endian into a uint64.
+    # Zero-padding past the end conflates "no byte" with a real 0x00 byte,
+    # so ties additionally break on clamped remaining length: equal padded
+    # keys with different lengths mean the shorter suffix is a strict
+    # prefix of the longer → shorter sorts first.  (Without this, suffixes
+    # ending in genuine 0x00 runs — e.g. the intra-kernel's little-endian
+    # separator indices — stay tied forever: every doubling round hands
+    # them all the same -1 sentinel, breaking the doubling induction.)
+    su = s.astype(np.uint64)
+    key = np.zeros(n, dtype=np.uint64)
+    for j in range(8):
+        if j < n:
+            key[: n - j] |= su[j:] << np.uint64(8 * (7 - j))
+    rem = np.minimum(np.arange(n, 0, -1, dtype=np.int64), 8)
+    order = np.lexsort((rem, key))
+    ks = key[order]
+    rs = rem[order]
+    newg = np.empty(n, dtype=bool)
+    newg[0] = True
+    newg[1:] = (ks[1:] != ks[:-1]) | (rs[1:] != rs[:-1])
+    # rank value = SA slot of the group's first member ("group start"
+    # encoding, Larsson–Sadakane): refining one group never renumbers any
+    # other group, so each round only touches unresolved positions.
+    slots = np.arange(n, dtype=np.int64)
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.maximum.accumulate(np.where(newg, slots, 0))
+    glen = np.diff(np.r_[np.flatnonzero(newg), n])
+    act = np.flatnonzero(np.repeat(glen > 1, glen))  # SA slots still tied
+    k = 8
+    while len(act) and k < n and (max_depth is None or k < max_depth):
+        pos = order[act]
+        nxt = pos + k
+        key2 = np.where(nxt < n, rank[np.minimum(nxt, n - 1)], -1)
+        r_act = rank[pos]
+        sub = np.lexsort((key2, r_act))
+        pos = pos[sub]
+        key2 = key2[sub]
+        r_act = r_act[sub]
+        order[act] = pos
+        m = len(act)
+        newg = np.empty(m, dtype=bool)
+        newg[0] = True
+        newg[1:] = (r_act[1:] != r_act[:-1]) | (key2[1:] != key2[:-1])
+        rank[pos] = np.maximum.accumulate(np.where(newg, act, 0))
+        glen = np.diff(np.r_[np.flatnonzero(newg), m])
+        act = act[np.repeat(glen > 1, glen)]
         k *= 2
-    sa = np.empty(n, dtype=np.int64)
-    sa[rank] = np.arange(n, dtype=np.int64)
-    return sa
+    return order.astype(np.int64)
 
 
 def adjacent_lcp(
@@ -120,15 +166,26 @@ def adjacent_lcp(
 
 
 def duplicate_spans(
-    s: np.ndarray, min_len: int, max_lcp: int = 1 << 14
+    s: np.ndarray, min_len: int, max_lcp: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Positions of duplicated substrings of length >= min_len.
 
     Returns (starts, lengths): for every maximal SA run sharing a prefix of
     >= min_len, each occurrence except the smallest start position yields one
     span of the run-wide common-prefix length (capped at max_lcp).
+
+    ``max_lcp`` defaults to ``min_len``: a duplicated region [a, b) of any
+    length has a qualifying suffix at EVERY p in [a, b-min_len], each
+    emitting a capped >= min_len span, so the downstream per-doc interval
+    union still covers [a, b) exactly — while the suffix sort and LCP scan
+    never pay for depth beyond min_len.
     """
-    sa = suffix_array(s)
+    if max_lcp is None:
+        max_lcp = min_len
+    # depth-capped sort: order beyond max_lcp bytes is irrelevant (the
+    # reported span length is capped there anyway; see suffix_array docs
+    # for why grouped-but-arbitrary tie order preserves run detection)
+    sa = suffix_array(s, max_depth=max_lcp)
     # screening mode: sub-min_len LCPs are never read (only the dup mask and
     # run minima of dup adjacencies matter)
     lcp = adjacent_lcp(s, sa, max_lcp, min_interest=min_len)
@@ -136,18 +193,27 @@ def duplicate_spans(
     if not dup.any():
         return np.empty(0, np.int64), np.empty(0, np.int64)
     # maximal runs of consecutive dup adjacencies: run of SA indices
-    # [i, j] where all adjacent lcps in between are >= min_len
+    # [i, j] where all adjacent lcps in between are >= min_len.  Fully
+    # vectorized over runs: per-run min-lcp and min-member via reduceat on
+    # the compacted dup-only arrays.
     edges = np.flatnonzero(np.diff(np.r_[0, dup.view(np.int8), 0]))
     run_starts, run_ends = edges[::2], edges[1::2]  # dup[start:end] all True
-    starts_out, lens_out = [], []
-    for rs, re_ in zip(run_starts, run_ends):
-        members = sa[rs : re_ + 1]  # re_+1 suffixes share the prefix
-        run_lcp = int(lcp[rs:re_].min())
-        keep = members.min()
-        dup_members = members[members != keep]
-        starts_out.append(dup_members)
-        lens_out.append(np.full(len(dup_members), run_lcp, dtype=np.int64))
-    return np.concatenate(starts_out), np.concatenate(lens_out)
+    n_adj = run_ends - run_starts  # adjacencies per run; members = n_adj + 1
+    # run-wide lcp: min over each run's adjacencies (compact dup-only lcps)
+    lcp_d = lcp[dup]
+    adj_off = np.zeros(len(run_starts), dtype=np.int64)
+    np.cumsum(n_adj[:-1], out=adj_off[1:])
+    run_lcp = np.minimum.reduceat(lcp_d, adj_off)
+    # members of run r = sa[run_starts[r] : run_ends[r] + 1]
+    memb = np.r_[dup, False].copy()
+    memb[run_ends] = True  # include each run's trailing suffix
+    members = sa[np.flatnonzero(memb)]
+    m_off = np.zeros(len(run_starts), dtype=np.int64)
+    np.cumsum(n_adj[:-1] + 1, out=m_off[1:])
+    keep = np.minimum.reduceat(members, m_off)
+    rid = np.repeat(np.arange(len(run_starts)), n_adj + 1)
+    is_dup = members != keep[rid]
+    return members[is_dup], run_lcp[rid[is_dup]]
 
 
 def merge_spans(starts: np.ndarray, ends: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
