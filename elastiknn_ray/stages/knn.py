@@ -236,20 +236,160 @@ class QueryHashIndex:
         )
 
 
-def topk_per_query(scored, k: int, *, exclude_self: bool = True):
+def _within_runs(keys: np.ndarray) -> np.ndarray:
+    """Position of each element within its run of equal keys (keys sorted)."""
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    run_lens = np.diff(np.r_[starts, len(keys)])
+    return np.arange(len(keys), dtype=np.int64) - np.repeat(starts, run_lens)
+
+
+def _coarse_query_key(ds, n_parts: int):
+    """Append ``part = query_id % n_parts`` — the coarse shuffle key every
+    per-query merge shares (many queries per partition, vectorized kernels,
+    no per-group Python)."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part",
+            pa.array(
+                t.column("query_id").to_numpy(zero_copy_only=False)
+                % np.int64(n_parts),
+                pa.int64(),
+            ),
+        )
+
+    return ds.map_batches(add_part, batch_format="pyarrow")
+
+
+def topk_per_query(scored, k: int, *, exclude_self: bool = True, n_parts: int = 32):
     """(query_id, neighbor_id, score) → (query_id, rank, neighbor_id, score)
     global per-query top-k with the deterministic (-score, neighbor_id)
-    tie-break — the final merge every kNN path shares."""
+    tie-break — the final merge every kNN path shares.  One coarse-keyed
+    shuffle; the group kernel handles MANY queries per partition in a single
+    lexsort (no per-query pandas UDF)."""
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+    def kern(t: pa.Table) -> pa.Table:
+        qi = t.column("query_id").to_numpy(zero_copy_only=False)
+        ni = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        sc = t.column("score").to_numpy(zero_copy_only=False)
         if exclude_self:
-            g = g[g["neighbor_id"] != g["query_id"]]
-        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "neighbor_id", "score"]]
+            m = ni != qi
+            qi, ni, sc = qi[m], ni[m], sc[m]
+        if len(qi) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        order = np.lexsort((ni, -sc, qi))
+        within = _within_runs(qi[order])
+        keep = order[within < k]
+        return pa.table(
+            {
+                "query_id": pa.array(qi[keep], pa.int64()),
+                "rank": pa.array(within[within < k] + 1, pa.int64()),
+                "neighbor_id": pa.array(ni[keep], pa.int64()),
+                "score": pa.array(sc[keep], pa.float64()),
+            }
+        )
 
-    return scored.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return (
+        _coarse_query_key(scored, n_parts)
+        .groupby("part")
+        .map_groups(
+            lambda t: kern(t.drop_columns(["part"])), batch_format="pyarrow"
+        )
+    )
+
+
+def count_cut_partials(bands, qindex: "QueryHashIndex", candidates: int):
+    """DOC-CONTIGUOUS band blocks (doc_id, band_hash) → per-block COMPLETE
+    (query_id, neighbor_id, n_bands) collision counts, cut to ``candidates``
+    per query per block (a superset of the global cut).
+
+    This is the shared first half of the one-shuffle LSH read path
+    (countHits + a partial kthGreatest, MatchHashesAndScoreQuery.java:52-85
+    / ArrayHitCounter.java:55-84): because each doc's L exploded rows are
+    produced inside the block where the doc lives, per-block counts are
+    final — no pre-cut aggregation shuffle is ever needed."""
+
+    def count_cut(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        q_ix, rows = qindex.expand_indices(bh)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "n_bands": pa.array([], pa.int64()),
+            }
+        )
+        if len(q_ix) == 0:
+            return empty
+        udoc, local = np.unique(docs[rows], return_inverse=True)
+        key = q_ix * len(udoc) + local
+        ukey, cnt = np.unique(key, return_counts=True)
+        uq = ukey // len(udoc)
+        nb = udoc[ukey % len(udoc)]
+        order = np.lexsort((nb, -cnt, uq))
+        keep = order[_within_runs(uq[order]) < candidates]
+        return pa.table(
+            {
+                "query_id": pa.array(qindex.query_ids[uq[keep]], pa.int64()),
+                "neighbor_id": pa.array(nb[keep], pa.int64()),
+                "n_bands": pa.array(cnt[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return bands.map_batches(count_cut, batch_format="pyarrow", batch_size=None)
+
+
+def merge_cut_candidates(partials, candidates: int, *, n_parts: int = 32):
+    """ONE coarse-keyed shuffle merging the per-block partial counts into the
+    global per-query candidate cut (kthGreatest semantics: ``candidates``
+    highest collision counts, ties by neighbor_id).  Any (query, doc) pair
+    split across blocks is summed first — a no-op under the doc-contiguity
+    invariant, correctness insurance without it."""
+
+    def merge_cut(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "n_bands": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        qi = t.column("query_id").to_numpy(zero_copy_only=False)
+        ni = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        nb = t.column("n_bands").to_numpy(zero_copy_only=False)
+        o = np.lexsort((ni, qi))
+        qs, ns, nbs = qi[o], ni[o], nb[o]
+        newg = np.r_[True, (qs[1:] != qs[:-1]) | (ns[1:] != ns[:-1])]
+        total = np.add.reduceat(nbs, np.flatnonzero(newg))
+        uq, un = qs[newg], ns[newg]
+        order = np.lexsort((un, -total, uq))
+        keep = order[_within_runs(uq[order]) < candidates]
+        return pa.table(
+            {
+                "query_id": pa.array(uq[keep], pa.int64()),
+                "neighbor_id": pa.array(un[keep], pa.int64()),
+                "n_bands": pa.array(total[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _coarse_query_key(partials, n_parts)
+        .groupby("part")
+        .map_groups(
+            lambda t: merge_cut(t.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
 
 
 class CosineBandIndex:
@@ -338,62 +478,12 @@ def _knn_lsh_cosine_indexed(
     q_ref = ray.put({"ids": query_ids, "qn": qm / qnorms})
     vec_refs = index.vec_refs
 
-    def count_cut(batch: pa.Table) -> pa.Table:
-        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
-        docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        q_ix, rows = qindex.expand_indices(bh)
-        empty = pa.table(
-            {
-                "query_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "n_bands": pa.array([], pa.int64()),
-            }
-        )
-        if len(q_ix) == 0:
-            return empty
-        udoc, local = np.unique(docs[rows], return_inverse=True)
-        key = q_ix * len(udoc) + local
-        ukey, cnt = np.unique(key, return_counts=True)
-        uq = ukey // len(udoc)
-        nb = udoc[ukey % len(udoc)]
-        # partial per-query cut (superset of the global cut)
-        order = np.lexsort((nb, -cnt, uq))
-        oq = uq[order]
-        starts = np.flatnonzero(np.r_[True, oq[1:] != oq[:-1]])
-        run_lens = np.diff(np.r_[starts, len(oq)])
-        within = np.arange(len(oq), dtype=np.int64) - np.repeat(starts, run_lens)
-        keep = order[within < candidates]
-        return pa.table(
-            {
-                "query_id": pa.array(qindex.query_ids[uq[keep]], pa.int64()),
-                "neighbor_id": pa.array(nb[keep], pa.int64()),
-                "n_bands": pa.array(cnt[keep].astype(np.int64), pa.int64()),
-            }
-        )
-
-    partials = index.bands.map_batches(
-        count_cut, batch_format="pyarrow", batch_size=None
-    )
+    partials = count_cut_partials(index.bands, qindex, candidates)
 
     # final merge: ONE coarse-keyed shuffle (~n_parts partitions, each
     # handling many queries in one fully-vectorized kernel — no per-group
     # Python), cut → rescore → top-k inside the kernel
     n_parts = 32
-
-    def add_part(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "part",
-            pa.array(
-                t.column("query_id").to_numpy(zero_copy_only=False)
-                % np.int64(n_parts),
-                pa.int64(),
-            ),
-        )
-
-    def _within_runs(keys: np.ndarray) -> np.ndarray:
-        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-        run_lens = np.diff(np.r_[starts, len(keys)])
-        return np.arange(len(keys), dtype=np.int64) - np.repeat(starts, run_lens)
 
     def merge_rescore_topk(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -437,7 +527,7 @@ def _knn_lsh_cosine_indexed(
         )
 
     return (
-        partials.map_batches(add_part, batch_format="pyarrow")
+        _coarse_query_key(partials, n_parts)
         .groupby("part")
         .map_groups(
             lambda t: merge_rescore_topk(t.drop_columns(["part"])),
@@ -497,38 +587,22 @@ def knn_lsh_cosine(
     qh = hyperplane_band_hashes(qm, planes, lsh.L, lsh.k)  # (Q, L)
     qindex = QueryHashIndex(query_ids, qh)
 
-    def count_hits(batch: pa.Table) -> pa.Table:
-        m = _to_matrix(batch.column("embedding"))
-        ids = batch.column("vec_id").to_numpy()
-        bh = hyperplane_band_hashes(m, planes, lsh.L, lsh.k)  # (N, L)
-        return qindex.expand(bh.reshape(-1), np.repeat(ids, lsh.L))
-
-    def count_hits_index(batch: pa.Table) -> pa.Table:
-        return qindex.expand(
-            batch.column("band_hash").to_numpy(zero_copy_only=False),
-            batch.column("doc_id").to_numpy(zero_copy_only=False),
-        )
-
-    from elastiknn_ray.stages.pairs import grouped_pair_count
-
+    # one-shuffle read path (shared with every LSH variant): hash each
+    # corpus block in place → per-block complete counts + partial cut →
+    # one coarse merge/cut shuffle (countHits → kthGreatest,
+    # MatchHashesAndScoreQuery.java:52-130, in exactly one exchange)
     if corpus_bands is not None:
-        hits = corpus_bands.map_batches(
-            count_hits_index, batch_format="pyarrow", batch_size=65536
-        )
+        bands = corpus_bands
     else:
-        hits = embeddings.map_batches(count_hits, batch_format="pyarrow")
-    counts = grouped_pair_count(
-        hits, "query_id", "neighbor_id", count_col="n_bands", num_partitions=16
+        from elastiknn_ray.stages.cosine_lsh import cosine_bands_fn
+
+        bands = embeddings.map_batches(
+            cosine_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow",
+            batch_size=4096,
+        )
+    cand = merge_cut_candidates(
+        count_cut_partials(bands, qindex, candidates), candidates
     )
-
-    def cut(g: pd.DataFrame) -> pd.DataFrame:
-        # kthGreatest semantics: keep the `candidates` highest collision
-        # counts, ties broken by neighbor_id for determinism
-        return g.sort_values(
-            ["n_bands", "neighbor_id"], ascending=[False, True]
-        ).head(candidates)
-
-    cand = counts.groupby("query_id").map_groups(cut, batch_format="pandas")
     if not rescore:
         return _collision_score_topk(cand, k, lsh.L)
     return rescore_cosine_topk(cand, embeddings, query_ids, qm, k)
@@ -784,7 +858,6 @@ def knn_l2_lsh(
     from elastiknn_ray.config import L2LshConfig
     from elastiknn_ray.models.params import derive_l2
     from elastiknn_ray.stages.float_lsh import l2_bands_fn, l2_probe_hashes
-    from elastiknn_ray.stages.pairs import grouped_pair_count
 
     query_ids = np.asarray(query_ids_matrix["ids"], dtype=np.int64)
     qm = np.asarray(query_ids_matrix["matrix"], dtype=np.float64)
@@ -813,25 +886,10 @@ def knn_l2_lsh(
         l2_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow",
         batch_size=4096,
     )
-    hits = bands.map_batches(
-        lambda t: qindex.expand(
-            t.column("band_hash").to_numpy(zero_copy_only=False),
-            t.column("doc_id").to_numpy(zero_copy_only=False),
-        ),
-        batch_format="pyarrow",
-        batch_size=65536,
+    # one-shuffle count/cut (shared LSH read path; doc-contiguous blocks)
+    cand = merge_cut_candidates(
+        count_cut_partials(bands, qindex, candidates), candidates
     )
-    counts = grouped_pair_count(
-        hits, "query_id", "neighbor_id", count_col="n_bands",
-        num_partitions=num_partitions,
-    )
-
-    def cut(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["n_bands", "neighbor_id"], ascending=[False, True]
-        ).head(candidates)
-
-    cand = counts.groupby("query_id").map_groups(cut, batch_format="pandas")
     return rescore_cosine_topk(cand, embeddings, query_ids, qm, k, metric="l2")
 
 

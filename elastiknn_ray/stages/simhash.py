@@ -334,11 +334,14 @@ def knn_hamming_lsh(
 ):
     """Approximate Hamming kNN — the HammingLshModel read path: bit-sampled
     band collisions (HammingLshModel.java:95-127) → per-query candidate cut
-    → exact packed-Hamming re-score → top-k."""
-    import pandas as pd
-
-    from elastiknn_ray.stages.knn import QueryHashIndex, topk_per_query
-    from elastiknn_ray.stages.pairs import grouped_pair_count
+    → exact packed-Hamming re-score → top-k.  Counting + cut use the shared
+    ONE-shuffle path (count_cut_partials → merge_cut_candidates)."""
+    from elastiknn_ray.stages.knn import (
+        QueryHashIndex,
+        count_cut_partials,
+        merge_cut_candidates,
+        topk_per_query,
+    )
 
     params = derive_bitsample(lsh)
     qh = bitsample_band_hashes(query_sigs["sig"], params)  # (Q, L)
@@ -347,25 +350,10 @@ def knn_hamming_lsh(
     bands = signatures.map_batches(
         bitsample_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow"
     )
-    hits = bands.map_batches(
-        lambda t: qindex.expand(
-            t.column("band_hash").to_numpy(zero_copy_only=False),
-            t.column("doc_id").to_numpy(zero_copy_only=False),
-        ),
-        batch_format="pyarrow",
-        batch_size=65536,
+    cand = merge_cut_candidates(
+        count_cut_partials(bands, qindex, candidates), candidates,
+        n_parts=num_partitions,
     )
-    counts = grouped_pair_count(
-        hits, "query_id", "neighbor_id", count_col="n_bands",
-        num_partitions=num_partitions,
-    )
-
-    def cut(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["n_bands", "neighbor_id"], ascending=[False, True]
-        ).head(candidates)
-
-    cand = counts.groupby("query_id").map_groups(cut, batch_format="pandas")
 
     # exact re-score: broadcast the candidate docs' packed signatures once
     # (8*W bytes per doc; the same shard-ref gather as the verify stage

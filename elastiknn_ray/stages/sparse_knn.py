@@ -175,13 +175,15 @@ def knn_lsh_jaccard(
     """Approximate Jaccard kNN — MinHash band collisions → per-query
     candidate cut → exact-Jaccard re-score (via the shared verify stage)
     → top-k.  Mirrors the reference's HashingQuery read path with
-    JaccardLshModel hashing (JaccardLshModel.java:55-136)."""
-    import pandas as pd
-
+    JaccardLshModel hashing (JaccardLshModel.java:55-136).  Collision
+    counting + candidate cut run on the shared ONE-shuffle path
+    (count_cut_partials → merge_cut_candidates): per-block complete counts
+    with a partial cut, then a single coarse per-query merge — no raw
+    hit-row shuffle, no per-query pandas UDF."""
     from elastiknn_ray.models.minhash import _Workspace, band_hashes
     from elastiknn_ray.models.params import derive_minhash
     from elastiknn_ray.stages.hashing import minhash_bands_fn
-    from elastiknn_ray.stages.pairs import grouped_pair_count
+    from elastiknn_ray.stages.knn import count_cut_partials, merge_cut_candidates
 
     lsh = lsh or JaccardLshConfig(L=32, k=3, seed=0)
     params = derive_minhash(lsh)
@@ -193,25 +195,10 @@ def knn_lsh_jaccard(
     corpus_bands = signatures.map_batches(
         minhash_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow"
     )
-    hits = corpus_bands.map_batches(
-        lambda t: qindex.expand(
-            t.column("band_hash").to_numpy(zero_copy_only=False),
-            t.column("doc_id").to_numpy(zero_copy_only=False),
-        ),
-        batch_format="pyarrow",
-        batch_size=65536,
+    cand = merge_cut_candidates(
+        count_cut_partials(corpus_bands, qindex, candidates), candidates,
+        n_parts=num_partitions,
     )
-    counts = grouped_pair_count(
-        hits, "query_id", "neighbor_id", count_col="n_bands",
-        num_partitions=num_partitions,
-    )
-
-    def cut(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["n_bands", "neighbor_id"], ascending=[False, True]
-        ).head(candidates)
-
-    cand = counts.groupby("query_id").map_groups(cut, batch_format="pandas")
     pairs = cand.map_batches(
         lambda t: pa.table(
             {

@@ -383,3 +383,46 @@ def test_plan_time_compat_validation(ray_session):
         from elastiknn_ray.config import HammingLshConfig
 
         HammingLshConfig(dims=8, k=16)
+
+
+def test_lsh_paths_partition_invariant(ray_session):
+    """One-shuffle read-path determinism pin for the unified cosine/L2/
+    Hamming LSH paths: outputs byte-identical across corpus partitionings."""
+    from elastiknn_ray.config import HammingLshConfig, L2LshConfig
+    from elastiknn_ray.stages.knn import knn_l2_lsh, knn_lsh_cosine
+
+    emb, m = _emb_ds(n=300, dims=16, seed=13)
+    q = {"ids": np.arange(8, dtype=np.int64), "matrix": m[:8].astype(np.float64)}
+    for fn, kw in (
+        (knn_lsh_cosine, {}),
+        (knn_l2_lsh, {"lsh": L2LshConfig(dims=16, L=16, k=2, w=4, seed=0)}),
+    ):
+        outs = []
+        for parts in (1, 9):
+            out = fn(emb.repartition(parts), q, k=5, candidates=50, **kw).to_pandas()
+            outs.append(out.sort_values(["query_id", "rank"]).reset_index(drop=True))
+        assert outs[0].equals(outs[1]), fn.__name__
+
+    # Hamming over packed signatures
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elastiknn_ray.stages.simhash import encode_sigs, knn_hamming_lsh
+
+    rng = np.random.default_rng(3)
+    dims = 128
+    sig = rng.integers(0, 2**63, (300, dims // 64), dtype=np.int64).astype(np.uint64)
+    sigs_tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(300, dtype=np.int64), pa.int64()),
+            "simhash": encode_sigs(sig),
+        }
+    )
+    qs = {"ids": np.arange(6, dtype=np.int64), "sig": sig[:6]}
+    cfg = HammingLshConfig(dims=dims, L=16, k=4, seed=0)
+    outs = []
+    for parts in (1, 9):
+        ds = rd.from_arrow(sigs_tbl).repartition(parts)
+        out = knn_hamming_lsh(ds, qs, k=5, lsh=cfg, candidates=50).to_pandas()
+        outs.append(out.sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert outs[0].equals(outs[1])

@@ -96,3 +96,24 @@ def test_knn_lsh_jaccard_recall_vs_exact(ray_session):
     total = sum(len(v) for v in e.values())
     recall = hits / max(total, 1)
     assert recall >= 0.9, recall
+
+
+def test_knn_lsh_jaccard_partition_invariant(ray_session):
+    """One-shuffle read-path determinism pin: the merged/cut/re-scored top-k
+    must be byte-identical no matter how the corpus blocks are split (the
+    partial per-block cut is a superset of the global cut; the merge sums
+    split partials)."""
+    from elastiknn_ray.config import JaccardLshConfig
+    from elastiknn_ray.stages.sparse_knn import knn_lsh_jaccard
+
+    sigs, qs, qids = _sigs_and_queries()
+    cfg = JaccardLshConfig(L=64, k=1, seed=0)
+    outs = []
+    for parts in (1, 7):
+        out = knn_lsh_jaccard(
+            sigs.repartition(parts), qs, k=5, lsh=cfg, candidates=50
+        ).to_pandas()
+        outs.append(
+            out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
