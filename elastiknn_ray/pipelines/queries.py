@@ -436,6 +436,78 @@ def q_invalid_docs(sf_dir: str):
     )
 
 
+def _jsonl_corpus_dir(sf_dir: str) -> str:
+    """Deterministic JSONL mirror of the documents table (closes SURVEY.md
+    §2.4 S1's JSON side): exported once per sf_dir into /tmp by map_batches
+    shard writers, with a deterministic malformed-line rule (doc_id%101==7 →
+    truncated JSON) so the dead-letter flow sees real parse failures.  The
+    export re-runs only when the directory is absent."""
+    import hashlib
+    import os
+    import shutil
+
+    from elastiknn_ray.sources.jsonl import export_jsonl_corpus
+
+    key = hashlib.blake2s(sf_dir.encode(), digest_size=8).hexdigest()
+    out = f"/tmp/elastiknn_jsonl/{key}"
+    marker = f"{out}.done"  # sibling, NOT inside: read_text scans the whole dir
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        export_jsonl_corpus(
+            _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+            out,
+            corrupt_mod=(101, 7),
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def q_jsonl_valid_docs(sf_dir: str):
+    """JSONL ingest, accepted side (SURVEY.md §2.4 S1; the reference's whole
+    I/O surface is JSON — XContentCodec.scala:1-696): read_text → one
+    vectorized pyarrow.json parse per batch → pure-Arrow validation →
+    (doc_id, nchars, lang) of rows passing every check."""
+    import pyarrow.compute as pc
+
+    from elastiknn_ray.sources.jsonl import read_jsonl_docs, valid_docs
+
+    parsed = read_jsonl_docs(_jsonl_corpus_dir(sf_dir), langs=("en", "de", "fr"))
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "nchars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+                "lang": t.column("lang"),
+            }
+        )
+
+    return valid_docs(parsed).map_batches(stats, batch_format="pyarrow")
+
+
+def q_jsonl_dead_letter(sf_dir: str):
+    """JSONL ingest, rejected side: every line that failed parse or
+    validation, with the most-severe reason (malformed_json > missing_id >
+    empty_text > bad_lang) — VectorMapper.scala:28-29 reject-don't-crash
+    semantics.  Malformed lines have no recoverable id → -1 sentinel."""
+    import pyarrow.compute as pc
+
+    from elastiknn_ray.sources.jsonl import dead_letter_docs, read_jsonl_docs
+
+    parsed = read_jsonl_docs(_jsonl_corpus_dir(sf_dir), langs=("en", "de", "fr"))
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.fill_null(t.column("doc_id"), pa.scalar(-1, pa.int64())),
+                "reason": t.column("reason"),
+            }
+        )
+
+    return dead_letter_docs(parsed).map_batches(shape, batch_format="pyarrow")
+
+
 def q_dedup_decisions(sf_dir: str):
     """End-product keep/drop decision per doc (exact > near > substring
     priority; pipelines/decide.py).  Rows-only driver check; semantics pinned
@@ -1095,6 +1167,8 @@ QUERIES = {
     "substring_dedup_docs": q_substring_dedup_docs,
     "dedup_decisions": q_dedup_decisions,
     "invalid_docs": q_invalid_docs,
+    "jsonl_valid_docs": q_jsonl_valid_docs,
+    "jsonl_dead_letter": q_jsonl_dead_letter,
     "quality_counts": q_quality_counts,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -1259,6 +1333,17 @@ ORACLE_SQL = {
     "invalid_docs": """
         SELECT doc_id FROM documents
         WHERE text = '' OR lang NOT IN ('en', 'de', 'fr')""",
+    "jsonl_valid_docs": """
+        SELECT doc_id, length(text) AS nchars, lang FROM documents
+        WHERE doc_id % 101 <> 7 AND text <> '' AND lang IN ('en', 'de', 'fr')""",
+    "jsonl_dead_letter": """
+        SELECT CASE WHEN doc_id % 101 = 7 THEN -1 ELSE doc_id END AS doc_id,
+               CASE WHEN doc_id % 101 = 7 THEN 'malformed_json'
+                    WHEN text = '' THEN 'empty_text'
+                    WHEN lang NOT IN ('en', 'de', 'fr') THEN 'bad_lang'
+               END AS reason
+        FROM documents
+        WHERE doc_id % 101 = 7 OR text = '' OR lang NOT IN ('en', 'de', 'fr')""",
     "knn_exact_l2": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
                    WHERE vec_id < 10),

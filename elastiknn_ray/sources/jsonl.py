@@ -1,0 +1,197 @@
+"""JSONL document source with schema validation and a dead-letter flow —
+closes SURVEY.md §2.4 S1 (the reference's entire I/O surface is JSON:
+XContentCodec.scala:1-696, client-python/elastiknn/api.py; Common-Crawl
+adjacent corpora arrive as JSONL).
+
+Design: `ray.data.read_text` streams raw lines (no driver materialization);
+a per-batch kernel parses each batch's lines in ONE `pyarrow.json` call
+(vectorized C++ parse).  Only when a batch contains malformed JSON does a
+per-line fallback isolate the bad rows — the rare path pays per-row Python,
+the common path never does.  Schema validation (required fields, lang
+allow-list, text non-empty) is pure `pyarrow.compute`; rejects are emitted
+as rows with a ``reason`` column instead of throwing per-row
+(VectorMapper.scala:28-29 semantics — reject, don't crash the bulk)."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.json as pj
+
+#: unified output schema of the parse stage: raw parsed fields + parse
+#: status.  Docs carry either a ``doc_id`` (re-ingest of engine output) or
+#: a ``url`` (fresh crawl rows; id derived by blake2 like the Parquet path)
+_FIELDS = [
+    ("doc_id", pa.int64()),
+    ("url", pa.string()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+]
+_PARSE_SCHEMA = pa.schema(_FIELDS)
+
+
+def _parse_lines(lines: list[str]) -> pa.Table:
+    """One vectorized pyarrow.json parse of a batch of JSONL lines; on
+    malformed input, per-line isolation (slow path, malformed rows only)."""
+    blob = ("\n".join(lines)).encode("utf-8")
+    opts = pj.ParseOptions(explicit_schema=_PARSE_SCHEMA, unexpected_field_behavior="ignore")
+    try:
+        t = pj.read_json(io.BytesIO(blob), parse_options=opts)
+        if t.num_rows == len(lines):
+            bad = np.zeros(len(lines), dtype=bool)
+            return t, bad
+    except pa.ArrowInvalid:
+        pass
+    # slow path: isolate malformed lines one by one (pa.json can also merge
+    # or drop rows on embedded newlines/blank lines — count mismatch lands
+    # here too)
+    rows = []
+    bad = np.zeros(len(lines), dtype=bool)
+    for i, ln in enumerate(lines):
+        try:
+            obj = json.loads(ln)
+            if not isinstance(obj, dict):
+                raise ValueError("not an object")
+            rows.append(
+                {
+                    "doc_id": obj.get("doc_id"),
+                    "url": obj.get("url"),
+                    "text": obj.get("text"),
+                    "lang": obj.get("lang"),
+                }
+            )
+        except (ValueError, TypeError):
+            bad[i] = True
+            rows.append({"doc_id": None, "url": None, "text": None, "lang": None})
+    return pa.Table.from_pylist(rows, schema=_PARSE_SCHEMA), bad
+
+
+def parse_batch(batch: pa.Table, *, langs: tuple[str, ...]) -> pa.Table:
+    """(text:string raw lines) → parsed rows + ``reason`` column:
+    '' = valid, else one of 'malformed_json', 'missing_id', 'empty_text',
+    'bad_lang' (most severe wins)."""
+    lines = batch.column("text").to_pylist()
+    t, bad = _parse_lines(lines)
+    url = t.column("url")
+    doc_id = t.column("doc_id")
+    text = t.column("text")
+    lang = t.column("lang")
+    n = t.num_rows
+    reason = np.full(n, "", dtype=object)
+    bad_lang = pc.fill_null(
+        pc.invert(pc.is_in(lang, value_set=pa.array(list(langs), pa.string()))),
+        True,
+    ).to_numpy(zero_copy_only=False)
+    reason[np.asarray(bad_lang, dtype=bool)] = "bad_lang"
+    empty_text = pc.fill_null(
+        pc.or_kleene(text.is_null(), pc.equal(text, pa.scalar(""))), True
+    ).to_numpy(zero_copy_only=False)
+    reason[np.asarray(empty_text, dtype=bool)] = "empty_text"
+    no_id = np.asarray(
+        url.is_null().to_numpy(zero_copy_only=False), bool
+    ) & np.asarray(doc_id.is_null().to_numpy(zero_copy_only=False), bool)
+    reason[no_id] = "missing_id"
+    reason[bad] = "malformed_json"
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "url": url,
+            "text": text,
+            "lang": lang,
+            "reason": pa.array(reason.tolist(), pa.string()),
+        }
+    )
+
+
+def read_jsonl_docs(path: str, *, langs: tuple[str, ...] = ("en", "de", "fr")):
+    """path (file/dir of .jsonl) → one Dataset of parsed rows with a
+    ``reason`` column ('' = valid).  Split it with :func:`valid_docs` /
+    :func:`dead_letter_docs` — both are lazy filters over the SAME parse
+    stage, so a pipeline consuming the two sides still parses once."""
+    import ray.data as rd
+
+    lines = rd.read_text(path)
+    return lines.map_batches(
+        parse_batch, fn_kwargs={"langs": tuple(langs)}, batch_format="pyarrow"
+    )
+
+
+def valid_docs(parsed):
+    """Accepted rows as (doc_id, text, lang): a row's own doc_id wins; rows
+    carrying only a url get the stable blake2 id (the Parquet ingest's
+    derivation, stages/hashing.doc_id_of_url)."""
+    from elastiknn_ray.stages.hashing import doc_id_of_url
+
+    def accept(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t.column("reason"), pa.scalar("")))
+        ids = kept.column("doc_id").to_pylist()
+        urls = kept.column("url").to_pylist()
+        out = [i if i is not None else doc_id_of_url(u) for i, u in zip(ids, urls)]
+        return pa.table(
+            {
+                "doc_id": pa.array(out, pa.int64()),
+                "text": kept.column("text"),
+                "lang": kept.column("lang"),
+            }
+        )
+
+    return parsed.map_batches(accept, batch_format="pyarrow")
+
+
+def dead_letter_docs(parsed):
+    """Rejected rows (ids may be null for malformed lines) + reject reason."""
+    return parsed.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.equal(t.column("reason"), pa.scalar("")))
+        ).select(["doc_id", "url", "reason"]),
+        batch_format="pyarrow",
+    )
+
+
+def export_jsonl_corpus(
+    docs_ds,
+    out_dir: str,
+    *,
+    corrupt_mod: tuple[int, int] | None = None,
+) -> int:
+    """Export a (doc_id, text, lang) Dataset to a directory of JSONL shards
+    — each map_batches worker writes its OWN shard file (the scale-true
+    pattern: no driver materialization, one file per block, resumable by
+    re-running).  ``corrupt_mod=(m, r)`` deterministically truncates the
+    serialized line of every doc with ``doc_id % m == r`` (always yields
+    invalid JSON: the trailing ``"<lang>"}`` is at most 5 bytes), so the
+    malformed-JSON dead-letter path is exercised by a rule an SQL oracle can
+    reproduce.  Per-row ``json.dumps`` is inherent to the export format and
+    off the query hot path.  Returns the number of exported lines."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def w(t: pa.Table) -> pa.Table:
+        lines = []
+        for r in t.select(["doc_id", "text", "lang"]).to_pylist():
+            ln = json.dumps(
+                {"doc_id": r["doc_id"], "text": r["text"], "lang": r["lang"]},
+                ensure_ascii=False,
+            )
+            if corrupt_mod is not None and r["doc_id"] % corrupt_mod[0] == corrupt_mod[1]:
+                ln = ln[:-5]
+            lines.append(ln)
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.jsonl")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        return pa.table({"n": pa.array([len(lines)], pa.int64())})
+
+    out = docs_ds.map_batches(w, batch_format="pyarrow").sum("n")
+    return int(out or 0)
+
+
+def write_jsonl(ds, path: str, columns: list[str]) -> None:
+    """Deterministic JSONL export via Ray Data's native distributed JSON
+    writer (one file per block — never one giant file)."""
+    ds.select_columns(columns).write_json(path)

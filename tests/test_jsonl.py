@@ -1,0 +1,119 @@
+"""JSONL source: parse fast/slow paths, dead-letter reasons, url-derived ids,
+and the write/read round-trip (SURVEY.md §2.4 S1 JSON side)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from elastiknn_ray.sources.jsonl import (
+    dead_letter_docs,
+    export_jsonl_corpus,
+    parse_batch,
+    read_jsonl_docs,
+    valid_docs,
+    write_jsonl,
+)
+from elastiknn_ray.stages.hashing import doc_id_of_url
+
+
+def _batch(lines):
+    return pa.table({"text": pa.array(lines, pa.string())})
+
+
+def test_parse_fast_path_all_valid():
+    lines = [
+        json.dumps({"doc_id": i, "text": f"hello {i}", "lang": "en"})
+        for i in range(10)
+    ]
+    out = parse_batch(_batch(lines), langs=("en",))
+    assert out.column("reason").to_pylist() == [""] * 10
+    assert out.column("doc_id").to_pylist() == list(range(10))
+
+
+def test_parse_isolates_malformed_lines():
+    good = json.dumps({"doc_id": 1, "text": "ok", "lang": "en"})
+    lines = [good, '{"doc_id": 2, "text": "broke', "not json at all", good]
+    out = parse_batch(_batch(lines), langs=("en",))
+    reasons = out.column("reason").to_pylist()
+    assert reasons == ["", "malformed_json", "malformed_json", ""]
+    # malformed rows carry no recoverable fields
+    assert out.column("doc_id").to_pylist()[1] is None
+
+
+def test_reason_severity_order():
+    lines = [
+        json.dumps({"doc_id": 1, "text": "", "lang": "xx"}),  # empty beats lang
+        json.dumps({"text": "t", "lang": "xx"}),  # missing_id beats bad_lang
+        json.dumps({"doc_id": 3, "text": "t", "lang": "xx"}),
+        json.dumps({"doc_id": 4, "text": "t"}),  # lang absent -> bad_lang
+    ]
+    out = parse_batch(_batch(lines), langs=("en",))
+    assert out.column("reason").to_pylist() == [
+        "empty_text",
+        "missing_id",
+        "bad_lang",
+        "bad_lang",
+    ]
+
+
+def test_url_rows_get_blake2_ids(ray_session, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    rows = [
+        {"url": "https://a.example/1", "text": "alpha", "lang": "en"},
+        {"doc_id": 77, "text": "beta", "lang": "en"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    parsed = read_jsonl_docs(str(p), langs=("en",))
+    got = valid_docs(parsed).to_pandas().sort_values("text").reset_index(drop=True)
+    assert got.loc[0, "doc_id"] == doc_id_of_url("https://a.example/1")
+    assert got.loc[1, "doc_id"] == 77
+
+
+def test_export_corrupt_rule_and_dead_letter(ray_session, tmp_path):
+    import ray.data as rd
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(20)), pa.int64()),
+            "text": pa.array([f"text {i}" for i in range(20)], pa.string()),
+            "lang": pa.array(["en"] * 19 + ["xx"], pa.string()),
+        }
+    )
+    out_dir = str(tmp_path / "corpus")
+    n = export_jsonl_corpus(
+        rd.from_arrow(docs), out_dir, corrupt_mod=(7, 3)
+    )
+    assert n == 20
+    parsed = read_jsonl_docs(out_dir, langs=("en",))
+    dead = dead_letter_docs(parsed).to_pandas()
+    # doc_ids 3, 10, 17 corrupted -> malformed; doc_id 19 bad_lang
+    assert sorted(dead[dead.reason == "malformed_json"].index.tolist()) != []
+    assert (dead.reason == "malformed_json").sum() == 3
+    assert (dead.reason == "bad_lang").sum() == 1
+    ok = valid_docs(parsed).to_pandas()
+    assert sorted(ok.doc_id) == [i for i in range(19) if i % 7 != 3]
+    # byte-identical text round-trip on the valid side
+    src = {i: f"text {i}" for i in range(20)}
+    assert all(src[r.doc_id] == r.text for r in ok.itertuples())
+
+
+def test_write_jsonl_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a", "b\nc", "d"], pa.string()),
+            "lang": pa.array(["en", "en", "de"], pa.string()),
+        }
+    )
+    out = str(tmp_path / "export")
+    write_jsonl(rd.from_arrow(t), out, ["doc_id", "text", "lang"])
+    files = [f for f in os.listdir(out) if f.endswith(".json")]
+    assert files
+    back = read_jsonl_docs(out, langs=("en", "de")).to_pandas()
+    assert (back.reason == "").all()
+    assert sorted(back.doc_id) == [1, 2, 3]
+    assert set(back.text) == {"a", "b\nc", "d"}
