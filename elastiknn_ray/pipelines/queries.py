@@ -1147,6 +1147,88 @@ def q_customer_order_counts(sf_dir: str):
 
 # ---------------------------------------------------------------- registry
 
+# ------------------------------------------------- multi-field corpus
+
+TITLE_WORDS = 8
+TITLE_SHINGLE_K = 2
+
+
+def _mf_corpus(sf_dir: str):
+    """One corpus, two independently-mapped vector fields
+    (VectorMapper.scala:125-131; the multiple/nested-vector suites):
+    title_sig = sparse_bool over the first 8 title tokens (k=2 shingles),
+    body_emb = dense_float(dims) from the embeddings table, joined on id."""
+    from elastiknn_ray.stages.fields import build_multi_field_corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return build_multi_field_corpus(
+        docs,
+        emb,
+        title_words=TITLE_WORDS,
+        title_shingle=ShingleConfig(k=TITLE_SHINGLE_K),
+        dims=_emb_dims(sf_dir),
+    )
+
+
+def _title_top_bigram(sf_dir: str) -> str:
+    """The most document-frequent title bigram, ties broken lexicographically
+    — the deterministic term-filter probe shared with the SQL oracle.
+    Combiner pattern: per-batch partial DF counts (bounded by the bigram
+    vocabulary) → small groupby sum → driver top-1."""
+    from collections import Counter
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for text in t.column("text").to_pylist():
+            toks = [w for w in (text or "").lower().split()][:TITLE_WORDS]
+            c.update({f"{a} {b}" for a, b in zip(toks, toks[1:])})
+        ks = sorted(c)
+        return pa.table(
+            {
+                "s": pa.array(ks, pa.string()),
+                "df": pa.array([c[k] for k in ks], pa.int64()),
+            }
+        )
+
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby("s").sum("df")
+    df = agg.to_pandas()  # bounded-cardinality vocabulary table
+    df = df.sort_values(["sum(df)", "s"], ascending=[False, True])
+    return str(df.iloc[0]["s"])
+
+
+def q_mf_knn_title_jaccard(sf_dir: str):
+    """Field-addressed kNN on the FIRST of two mapped fields: exact Jaccard
+    over the title_sig shingle sets, validated against the field mapping at
+    plan time (stages/fields.py)."""
+    corpus = _mf_corpus(sf_dir)
+    out = corpus.knn_sparse("title_sig", np.arange(20, dtype=np.int64), k=5)
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
+def q_mf_knn_body_cosine(sf_dir: str):
+    """Field-addressed kNN on the SECOND mapped field: exact cosine over
+    body_emb; the query matrix dims are checked against the mapping before
+    any execution is scheduled."""
+    corpus = _mf_corpus(sf_dir)
+    out = corpus.knn_dense("body_emb", _emb_queries(sf_dir), k=5)
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
+def q_mf_filtered_title_body(sf_dir: str):
+    """Cross-field composition (Q8 over two vector fields): a term filter on
+    field A (title_sig contains the corpus's top title bigram — a Lucene
+    term-query over the signature set) restricting a cosine kNN on field B
+    (body_emb), evaluated in ONE streaming pass over the joined corpus."""
+    corpus = _mf_corpus(sf_dir)
+    probe = _title_top_bigram(sf_dir)
+    mask = corpus.sparse_term_mask("title_sig", probe)
+    out = corpus.knn_dense("body_emb", _emb_queries(sf_dir), k=5, mask_fn=mask)
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
 QUERIES = {
     "token_counts": q_token_counts,
     "token_counts_regex": q_token_counts_regex,
@@ -1183,6 +1265,9 @@ QUERIES = {
     "knn_jaccard_lsh": q_knn_jaccard_lsh,
     "knn_hamming_lsh": q_knn_hamming_lsh,
     "knn_filtered_cosine": q_knn_filtered_cosine,
+    "mf_knn_title_jaccard": q_mf_knn_title_jaccard,
+    "mf_knn_body_cosine": q_mf_knn_body_cosine,
+    "mf_filtered_title_body": q_mf_filtered_title_body,
     "knn_lsh_cosine": q_knn_lsh_cosine,
     "knn_lsh_cosine_score_fn": q_knn_lsh_cosine_score_fn,
     "knn_ivf_cosine": q_knn_ivf_cosine,
@@ -1235,6 +1320,34 @@ pairs AS (
 
 
 _SHINGLE_CTE = _shingle_cte(5)
+
+
+def _title_shingle_cte(words: int, k: int) -> str:
+    """Like _shingle_cte but over each doc's TITLE — its first ``words``
+    whitespace tokens — mirroring build_multi_field_corpus's title field."""
+    expr = " || ' ' || ".join(["w"] + [f"lead(w,{i}) OVER win" for i in range(1, k)])
+    return f"""
+d AS (SELECT doc_id, list_slice({_TOKS_LOWER}, 1, {words}) AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS rn FROM d),
+sh AS (
+  SELECT doc_id, {expr} AS s
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY rn)
+),
+sd AS (SELECT DISTINCT doc_id, s FROM sh WHERE s IS NOT NULL),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sd GROUP BY doc_id),
+isec AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isec
+  FROM sd a JOIN sd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b, isec, sa.n AS size_a, sb.n AS size_b
+  FROM isec JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+)
+"""
+
+
+_TITLE_CTE = _title_shingle_cte(TITLE_WORDS, TITLE_SHINGLE_K)
 
 #: the sparse-kNN entries shingle at k=3 — the 5-shingle sharing graph of
 #: the synthetic corpus is too sparse to exercise real ranking competition.
@@ -1439,6 +1552,54 @@ ORACLE_SQL = {
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
+    "mf_knn_title_jaccard": f"""
+        WITH {_TITLE_CTE},
+        dp AS (
+          SELECT doc_a AS query_id, doc_b AS neighbor_id, isec,
+                 size_a AS qsize, size_b AS nsize
+          FROM pairs WHERE doc_a < 20
+          UNION ALL
+          SELECT doc_b, doc_a, isec, size_b, size_a
+          FROM pairs WHERE doc_b < 20
+        ),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY CAST(isec AS DOUBLE) / (qsize + nsize - isec)
+                                DESC, neighbor_id) AS rank
+              FROM dp)
+        SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""",
+    "mf_knn_body_cosine": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                   WHERE vec_id < 10),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, c.embedding) AS score
+              FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS rank
+              FROM s)
+        SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""",
+    "mf_filtered_title_body": f"""
+        WITH {_TITLE_CTE},
+        probe AS (
+          SELECT s FROM (
+            SELECT s, COUNT(DISTINCT doc_id) AS df FROM sd GROUP BY s
+          ) ORDER BY df DESC, s LIMIT 1
+        ),
+        corpus AS (SELECT DISTINCT sd.doc_id FROM sd JOIN probe ON sd.s = probe.s),
+        q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+              WHERE vec_id < 10),
+        sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                      list_cosine_similarity(q.qe, c.embedding) AS score
+               FROM q CROSS JOIN embeddings c
+               JOIN corpus ON c.vec_id = corpus.doc_id
+               WHERE c.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS rank
+              FROM sc)
+        SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""",
     "knn_exact_cosine": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
                    WHERE vec_id < 10),
