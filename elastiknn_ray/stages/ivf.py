@@ -201,5 +201,11 @@ def knn_ivf_cosine_seek(
                 }
             )
         )
-    sub = rd.read_parquet(files, columns=["vec_id", "embedding"])
+    from elastiknn_ray.stages.index_maint import drop_tombstoned, load_tombstones
+
+    sub = drop_tombstoned(
+        rd.read_parquet(files, columns=["vec_id", "embedding"]),
+        load_tombstones(path),
+        "vec_id",
+    )
     return knn_exact(sub, query_ids_matrix, k)

@@ -978,9 +978,18 @@ def knn_lsh_cosine_seek(
                 }
             )
         )
-    bands = rd.read_parquet(files, columns=["doc_id", "band_hash"])
-    vectors = rd.read_parquet(
-        os.path.join(path, "vectors"), columns=["vec_id", "embedding"]
+    from elastiknn_ray.stages.index_maint import drop_tombstoned, load_tombstones
+
+    dead = load_tombstones(path)
+    bands = drop_tombstoned(
+        rd.read_parquet(files, columns=["doc_id", "band_hash"]), dead, "doc_id"
+    )
+    vectors = drop_tombstoned(
+        rd.read_parquet(
+            os.path.join(path, "vectors"), columns=["vec_id", "embedding"]
+        ),
+        dead,
+        "vec_id",
     )
     return knn_lsh_cosine(
         vectors, query_ids_matrix, k, candidates=candidates, lsh=lsh,
