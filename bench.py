@@ -289,6 +289,107 @@ def run_ann(num_cpus: int) -> dict:
     }
 
 
+def run_ann_jaccard(num_cpus: int) -> dict:
+    """ann-benchmarks-style sweep for the SPARSE Jaccard read path
+    (knn_lsh_jaccard: MinHash band collisions → one-shuffle count/cut →
+    exact-Jaccard re-score) vs the exact sparse baseline, on a deterministic
+    60k clustered set corpus — closes the reference's L2/Jaccard sweep gap
+    (ann-benchmarks/config.yml covers non-cosine metrics too)."""
+    _init_ray(num_cpus)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elastiknn_ray.config import JaccardLshConfig
+    from elastiknn_ray.stages.hashing import encode_u64_lists
+    from elastiknn_ray.stages.sparse_knn import knn_exact_sparse, knn_lsh_jaccard
+
+    n, n_clusters, set_len, universe, n_q, k = 60_000, 512, 150, 16_384, 500, 100
+    rng = np.random.default_rng(0)
+    protos = np.array(
+        [
+            rng.choice(universe, size=set_len, replace=False)
+            for _ in range(n_clusters)
+        ]
+    )
+    owner = rng.integers(0, n_clusters, n)
+    base = protos[owner]  # (n, set_len)
+    # resample ~15% of each doc's elements for intra-cluster jaccard ~0.74
+    mutate = rng.random((n, set_len)) < 0.15
+    noise = rng.integers(0, universe, (n, set_len))
+    sets = np.where(mutate, noise, base).astype(np.uint64)
+    # sorted-unique invariant (I2)
+    arrs = [np.unique(s) for s in sets]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(a) for a in arrs], out=offsets[1:])
+    values = np.concatenate(arrs)
+    sigs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "shingles": encode_u64_lists(offsets, values),
+                "n_shingles": pa.array(
+                    np.diff(offsets).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+    ).materialize()
+    qs = {
+        "ids": np.arange(n_q, dtype=np.int64),
+        "offsets": offsets[: n_q + 1].copy(),
+        "values": values[: offsets[n_q]],
+        "sizes": np.diff(offsets[: n_q + 1]),
+    }
+
+    t0 = time.perf_counter()
+    exact = knn_exact_sparse(sigs, qs, k=k).to_pandas()
+    exact_s = time.perf_counter() - t0
+    truth = {
+        qi: set(exact[exact["query_id"] == qi]["neighbor_id"]) for qi in range(n_q)
+    }
+
+    lsh_cfg = JaccardLshConfig(L=100, k=4, seed=0)
+    points = []
+    for candidates in (100, 500, 1000):
+        t0 = time.perf_counter()
+        approx = knn_lsh_jaccard(
+            sigs, qs, k=k, lsh=lsh_cfg, candidates=candidates
+        ).to_pandas()
+        el = time.perf_counter() - t0
+        recalls = [
+            len(truth[qi] & set(approx[approx["query_id"] == qi]["neighbor_id"]))
+            / max(len(truth[qi]), 1)
+            for qi in range(n_q)
+        ]
+        points.append(
+            {
+                "candidates": candidates,
+                "recall_at_100": round(float(np.mean(recalls)), 3),
+                "qps": round(n_q / el, 1),
+                "elapsed_sec": round(el, 2),
+            }
+        )
+    return {
+        "metric": "ann_jaccard_recall_qps",
+        "value": points[-1]["recall_at_100"],
+        "unit": "recall@100",
+        "corpus": {
+            "n": n,
+            "universe": universe,
+            "set_len": set_len,
+            "n_queries": n_q,
+            "k": k,
+        },
+        "exact_baseline": {
+            "qps": round(n_q / exact_s, 1),
+            "elapsed_sec": round(exact_s, 2),
+        },
+        "lsh": {"L": lsh_cfg.L, "k": lsh_cfg.k},
+        "lsh_points": points,
+        "num_cpus": num_cpus,
+    }
+
+
 def run_emb_dedup(num_cpus: int, n: int, dims: int = 64, seed: int = 0) -> dict:
     """Embedding near-dup at scale: hyperplane-LSH candidate generation +
     broadcast-gated exact-cosine verify over a synthetic clustered corpus
@@ -466,6 +567,7 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--recall", action="store_true", help="dup-pair recall vs ground truth")
     ap.add_argument("--ann", action="store_true", help="ann-benchmarks-style recall/QPS sweep")
+    ap.add_argument("--ann-jaccard", action="store_true", help="sparse Jaccard read-path recall/QPS sweep")
     ap.add_argument("--flagship", action="store_true", help="single fresh-session flagship run")
     ap.add_argument("--emb-dedup", action="store_true", help="embedding near-dup scale run")
     ap.add_argument("--substring", action="store_true", help="substring-dedup scale run")
@@ -480,6 +582,8 @@ def main() -> None:
         result = run_recall(args.cpus, args.docs, SCALING_SEED)
     elif args.ann:
         result = run_ann(args.cpus)
+    elif args.ann_jaccard:
+        result = run_ann_jaccard(args.cpus)
     elif args.flagship:
         result = run_flagship(args.cpus, args.docs, SCALING_SEED)
     elif args.emb_dedup:
