@@ -66,18 +66,34 @@ def _init_ray(num_cpus: int) -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
-def run_queries(sf_dir: str, num_cpus: int) -> dict:
+def run_queries(sf_dir: str, num_cpus: int, repeats: int | None = None) -> dict:
+    """Registry bench with a jitter-controlled protocol: every entry runs
+    ``repeats`` times (default 2, env GRAFT_BENCH_REPEATS) and reports its
+    BEST time.  The sandbox host shows 1.5-2x wall-time jitter under
+    contention (BASELINE.md), so single-sample per-entry times cannot
+    distinguish a regression from a noisy neighbor; per-entry minima can.
+    Row counts are asserted identical across passes (determinism check)."""
+    repeats = repeats or int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     _init_ray(num_cpus)
     from elastiknn_ray.pipelines.queries import QUERIES
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     t_all = time.perf_counter()
-    for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        rows[name] = _consume(fn(sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_all, 3)
+    for rep in range(max(1, repeats)):
+        for name, fn in QUERIES.items():
+            t0 = time.perf_counter()
+            n = _consume(fn(sf_dir))
+            el = round(time.perf_counter() - t0, 3)
+            if name in rows and rows[name] != n:
+                raise AssertionError(
+                    f"{name}: row count changed across passes "
+                    f"({rows[name]} vs {n})"
+                )
+            rows[name] = n
+            timings[name] = min(timings.get(name, el), el)
+    wall = round(time.perf_counter() - t_all, 3)
+    total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -91,6 +107,8 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
         "rows": rows,
         "sf": sf_val,
         "num_cpus": num_cpus,
+        "protocol": f"best-of-{max(1, repeats)} per entry",
+        "wall_sec_all_passes": wall,
     }
 
 
@@ -574,6 +592,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=200_000, help="vector count for --emb-dedup")
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--docs", type=int, default=SCALING_DOCS)
+    ap.add_argument("--repeats", type=int, default=None, help="best-of-N per registry entry")
     args = ap.parse_args()
 
     if args.scaling:
@@ -591,7 +610,7 @@ def main() -> None:
     elif args.substring:
         result = run_substring(args.cpus, args.docs, SCALING_SEED)
     else:
-        result = run_queries(SF_DIR, args.cpus)
+        result = run_queries(SF_DIR, args.cpus, args.repeats)
 
     print(json.dumps(result))
     import ray
