@@ -506,8 +506,11 @@ def run_substring(num_cpus: int, n_docs: int, seed: int) -> dict:
         ["doc_id", "text"]
     )
     t0 = time.perf_counter()
+    # byte-budgeted partitioning with a 4x-CPUs floor: many small SA blobs
+    # schedule better than CPU-count blobs (stragglers + allocation stalls
+    # shrink superlinearly with blob size on this host class)
     spans = substring_spans(
-        docs, SubstringConfig(num_partitions=max(32, num_cpus))
+        docs, SubstringConfig(min_partitions=4 * num_cpus)
     ).materialize()
     elapsed = time.perf_counter() - t0
     flagged = set()
