@@ -506,11 +506,14 @@ def run_substring(num_cpus: int, n_docs: int, seed: int) -> dict:
         ["doc_id", "text"]
     )
     t0 = time.perf_counter()
-    # byte-budgeted partitioning with a 4x-CPUs floor: many small SA blobs
-    # schedule better than CPU-count blobs (stragglers + allocation stalls
-    # shrink superlinearly with blob size on this host class)
+    # byte-budgeted partitioning with a small target blob and a 4x-CPUs
+    # floor: per-byte SA cost grows superlinearly with blob size on this
+    # host class (cache + allocation stalls), so many ~4 MB blobs beat few
+    # big ones.  (The library default stays 256 MB — sized for real-cluster
+    # workers where per-task overhead, not cache, is the binding constraint.)
     spans = substring_spans(
-        docs, SubstringConfig(min_partitions=4 * num_cpus)
+        docs,
+        SubstringConfig(target_blob_bytes=4 << 20, min_partitions=4 * num_cpus),
     ).materialize()
     elapsed = time.perf_counter() - t0
     flagged = set()
