@@ -367,11 +367,21 @@ def run_ann_jaccard(num_cpus: int) -> dict:
     }
 
     lsh_cfg = JaccardLshConfig(L=100, k=4, seed=0)
+    # fit/query split: hash the corpus into band postings ONCE (the
+    # reference's index-once model); each sweep point only pays the read path
+    from elastiknn_ray.stages.hashing import minhash_bands_fn
+
+    t0 = time.perf_counter()
+    bands = sigs.map_batches(
+        minhash_bands_fn, fn_kwargs={"lsh": lsh_cfg}, batch_format="pyarrow"
+    ).materialize()
+    fit_s = time.perf_counter() - t0
     points = []
     for candidates in (100, 500, 1000):
         t0 = time.perf_counter()
         approx = knn_lsh_jaccard(
-            sigs, qs, k=k, lsh=lsh_cfg, candidates=candidates
+            sigs, qs, k=k, lsh=lsh_cfg, candidates=candidates,
+            corpus_bands=bands,
         ).to_pandas()
         el = time.perf_counter() - t0
         recalls = [
@@ -402,6 +412,7 @@ def run_ann_jaccard(num_cpus: int) -> dict:
             "qps": round(n_q / exact_s, 1),
             "elapsed_sec": round(exact_s, 2),
         },
+        "fit_sec": round(fit_s, 2),
         "lsh": {"L": lsh_cfg.L, "k": lsh_cfg.k},
         "lsh_points": points,
         "num_cpus": num_cpus,

@@ -171,6 +171,7 @@ def knn_lsh_jaccard(
     lsh: JaccardLshConfig | None = None,
     candidates: int = 100,
     num_partitions: int = 16,
+    corpus_bands=None,
 ):
     """Approximate Jaccard kNN — MinHash band collisions → per-query
     candidate cut → exact-Jaccard re-score (via the shared verify stage)
@@ -192,9 +193,13 @@ def knn_lsh_jaccard(
     )  # (Q, L)
     qindex = QueryHashIndex(query_sets["ids"], qh)
 
-    corpus_bands = signatures.map_batches(
-        minhash_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow"
-    )
+    if corpus_bands is None:
+        # fit-once/query-many: pass a materialized band table (the
+        # index-once model, HashingQuery.index) to amortize corpus hashing
+        # across query waves
+        corpus_bands = signatures.map_batches(
+            minhash_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow"
+        )
     cand = merge_cut_candidates(
         count_cut_partials(corpus_bands, qindex, candidates), candidates,
         n_parts=num_partitions,
