@@ -307,6 +307,94 @@ def run_ann(num_cpus: int) -> dict:
     }
 
 
+def run_ann_l2(num_cpus: int) -> dict:
+    """ann-benchmarks-style sweep for the L2 multiprobe read path at the
+    reference's PUBLISHED protocol shape (ann-benchmarks/config.yml:20-22:
+    Fashion-MNIST 784d / 60k corpus / k=100, L2Lsh L=175 k=7 w=3900,
+    candidates 100/500/1000) on a synthetic pixel-scale clustered corpus
+    (no network: the real dataset is unavailable, so recall values are not
+    comparable 1:1 — the curve shape and QPS are the measurement)."""
+    _init_ray(num_cpus)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elastiknn_ray.config import L2LshConfig
+    from elastiknn_ray.stages.float_lsh import l2_bands_fn
+    from elastiknn_ray.stages.knn import knn_exact_metric, knn_l2_lsh
+
+    n, dims, n_q, k = 60_000, 784, 500, 100
+    rng = np.random.default_rng(0)
+    # pixel-scale clusters: centers in [0, 255], cluster spread ~ MNIST-ish
+    centers = rng.uniform(0, 255, size=(256, dims))
+    m = np.clip(
+        centers[rng.integers(0, 256, n)] + 35.0 * rng.normal(size=(n, dims)),
+        0,
+        255,
+    ).astype(np.float32)
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "embedding": pa.array(list(m), pa.list_(pa.float32())),
+            }
+        )
+    ).materialize()
+    q = {"ids": np.arange(n_q, dtype=np.int64), "matrix": m[:n_q].astype(np.float64)}
+
+    t0 = time.perf_counter()
+    exact = knn_exact_metric(emb, q, k=k, metric="l2").to_pandas()
+    exact_s = time.perf_counter() - t0
+    truth = {
+        qi: set(exact[exact["query_id"] == qi]["neighbor_id"]) for qi in range(n_q)
+    }
+
+    lsh_cfg = L2LshConfig(dims=dims, L=175, k=7, w=3900, seed=0)
+    t0 = time.perf_counter()
+    bands = emb.map_batches(
+        l2_bands_fn, fn_kwargs={"lsh": lsh_cfg}, batch_format="pyarrow",
+        batch_size=4096,
+    ).materialize()
+    fit_s = time.perf_counter() - t0
+
+    points = []
+    for candidates, probes in ((100, 0), (500, 0), (1000, 0), (500, 2)):
+        t0 = time.perf_counter()
+        approx = knn_l2_lsh(
+            emb, q, k=k, lsh=lsh_cfg, candidates=candidates, probes=probes,
+            corpus_bands=bands,
+        ).to_pandas()
+        el = time.perf_counter() - t0
+        recalls = [
+            len(truth[qi] & set(approx[approx["query_id"] == qi]["neighbor_id"]))
+            / max(len(truth[qi]), 1)
+            for qi in range(n_q)
+        ]
+        points.append(
+            {
+                "candidates": candidates,
+                "probes": probes,
+                "recall_at_100": round(float(np.mean(recalls)), 3),
+                "qps": round(n_q / el, 1),
+                "elapsed_sec": round(el, 2),
+            }
+        )
+    return {
+        "metric": "ann_l2_recall_qps",
+        "value": points[2]["recall_at_100"],
+        "unit": "recall@100",
+        "corpus": {"n": n, "dims": dims, "n_queries": n_q, "k": k},
+        "exact_baseline": {
+            "qps": round(n_q / exact_s, 1),
+            "elapsed_sec": round(exact_s, 2),
+        },
+        "fit_sec": round(fit_s, 2),
+        "lsh": {"L": lsh_cfg.L, "k": lsh_cfg.k, "w": lsh_cfg.w},
+        "lsh_points": points,
+        "num_cpus": num_cpus,
+    }
+
+
 def run_ann_jaccard(num_cpus: int) -> dict:
     """ann-benchmarks-style sweep for the SPARSE Jaccard read path
     (knn_lsh_jaccard: MinHash band collisions → one-shuffle count/cut →
@@ -603,6 +691,7 @@ def main() -> None:
     ap.add_argument("--recall", action="store_true", help="dup-pair recall vs ground truth")
     ap.add_argument("--ann", action="store_true", help="ann-benchmarks-style recall/QPS sweep")
     ap.add_argument("--ann-jaccard", action="store_true", help="sparse Jaccard read-path recall/QPS sweep")
+    ap.add_argument("--ann-l2", action="store_true", help="L2 multiprobe read-path sweep at the reference's published config shape")
     ap.add_argument("--flagship", action="store_true", help="single fresh-session flagship run")
     ap.add_argument("--emb-dedup", action="store_true", help="embedding near-dup scale run")
     ap.add_argument("--substring", action="store_true", help="substring-dedup scale run")
@@ -620,6 +709,8 @@ def main() -> None:
         result = run_ann(args.cpus)
     elif args.ann_jaccard:
         result = run_ann_jaccard(args.cpus)
+    elif args.ann_l2:
+        result = run_ann_l2(args.cpus)
     elif args.flagship:
         result = run_flagship(args.cpus, args.docs, SCALING_SEED)
     elif args.emb_dedup:

@@ -848,6 +848,7 @@ def knn_l2_lsh(
     probes: int = 0,
     candidates: int = 100,
     num_partitions: int = 16,
+    corpus_bands=None,
 ):
     """L2-LSH kNN with query-side MULTIPROBE expansion (L2LshModel.java:84-134
     after Qin et al. 2007 — the reference's published ann-benchmarks config
@@ -882,10 +883,12 @@ def knn_l2_lsh(
     values = np.concatenate(per_q) if per_q else np.empty(0, np.uint64)
     qindex = QueryHashIndex.from_ragged(query_ids, offsets, values)
 
-    bands = embeddings.map_batches(
-        l2_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow",
-        batch_size=4096,
-    )
+    bands = corpus_bands  # fit-once/query-many injection (index-once model)
+    if bands is None:
+        bands = embeddings.map_batches(
+            l2_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow",
+            batch_size=4096,
+        )
     # one-shuffle count/cut (shared LSH read path; doc-contiguous blocks)
     cand = merge_cut_candidates(
         count_cut_partials(bands, qindex, candidates), candidates
