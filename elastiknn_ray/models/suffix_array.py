@@ -58,7 +58,7 @@ def suffix_array(
     prefix length under ANY internal permutation (some adjacent pair must
     straddle the block's first split point).
 
-    Ranks are int32 (partitions are far below 2^31 bytes).
+    Ranks and slot keys are int64 (composite-key rounds pack rank pairs).
     """
     n = len(s)
     if n == 0:

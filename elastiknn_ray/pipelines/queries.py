@@ -441,14 +441,23 @@ def _jsonl_corpus_dir(sf_dir: str) -> str:
     §2.4 S1's JSON side): exported once per sf_dir into /tmp by map_batches
     shard writers, with a deterministic malformed-line rule (doc_id%101==7 →
     truncated JSON) so the dead-letter flow sees real parse failures.  The
-    export re-runs only when the directory is absent."""
+    export re-runs when the directory is absent OR the Parquet source files
+    changed (cache key includes the source paths + sizes + mtimes, so a
+    regenerated table at the same path invalidates the mirror)."""
+    import glob
     import hashlib
     import os
     import shutil
 
     from elastiknn_ray.sources.jsonl import export_jsonl_corpus
 
-    key = hashlib.blake2s(sf_dir.encode(), digest_size=8).hexdigest()
+    h = hashlib.blake2s(sf_dir.encode(), digest_size=8)
+    for p in sorted(glob.glob(os.path.join(sf_dir, "documents*.parquet"))) or sorted(
+        glob.glob(os.path.join(sf_dir, "documents", "*.parquet"))
+    ):
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    key = h.hexdigest()
     out = f"/tmp/elastiknn_jsonl/{key}"
     marker = f"{out}.done"  # sibling, NOT inside: read_text scans the whole dir
     if not os.path.exists(marker):

@@ -34,9 +34,27 @@ _FIELDS = [
 _PARSE_SCHEMA = pa.schema(_FIELDS)
 
 
-def _parse_lines(lines: list[str]) -> pa.Table:
+def _coerce_row(obj: dict) -> dict:
+    """Schema-check one parsed object against _PARSE_SCHEMA's field types;
+    raises ValueError on any type mismatch so the caller dead-letters the
+    row instead of letting ``pa.Table.from_pylist`` fail the WHOLE batch
+    (reject-don't-crash, VectorMapper.scala:28-29)."""
+    doc_id = obj.get("doc_id")
+    if doc_id is not None and (isinstance(doc_id, bool) or not isinstance(doc_id, int)):
+        raise ValueError("doc_id not an integer")
+    row = {"doc_id": doc_id}
+    for f in ("url", "text", "lang"):
+        v = obj.get(f)
+        if v is not None and not isinstance(v, str):
+            raise ValueError(f"{f} not a string")
+        row[f] = v
+    return row
+
+
+def _parse_lines(lines: list[str]) -> tuple[pa.Table, np.ndarray]:
     """One vectorized pyarrow.json parse of a batch of JSONL lines; on
-    malformed input, per-line isolation (slow path, malformed rows only)."""
+    malformed input, per-line isolation (slow path, malformed rows only).
+    Returns (parsed table, bad-line mask)."""
     blob = ("\n".join(lines)).encode("utf-8")
     opts = pj.ParseOptions(explicit_schema=_PARSE_SCHEMA, unexpected_field_behavior="ignore")
     try:
@@ -56,14 +74,7 @@ def _parse_lines(lines: list[str]) -> pa.Table:
             obj = json.loads(ln)
             if not isinstance(obj, dict):
                 raise ValueError("not an object")
-            rows.append(
-                {
-                    "doc_id": obj.get("doc_id"),
-                    "url": obj.get("url"),
-                    "text": obj.get("text"),
-                    "lang": obj.get("lang"),
-                }
-            )
+            rows.append(_coerce_row(obj))
         except (ValueError, TypeError):
             bad[i] = True
             rows.append({"doc_id": None, "url": None, "text": None, "lang": None})

@@ -305,16 +305,26 @@ def topk_per_query(scored, k: int, *, exclude_self: bool = True, n_parts: int = 
     )
 
 
-def count_cut_partials(bands, qindex: "QueryHashIndex", candidates: int):
-    """DOC-CONTIGUOUS band blocks (doc_id, band_hash) → per-block COMPLETE
-    (query_id, neighbor_id, n_bands) collision counts, cut to ``candidates``
-    per query per block (a superset of the global cut).
+def count_cut_partials(
+    bands, qindex: "QueryHashIndex", candidates: int, *, partial_cut: bool = True
+):
+    """Band blocks (doc_id, band_hash) → per-block (query_id, neighbor_id,
+    n_bands) collision counts.
 
-    This is the shared first half of the one-shuffle LSH read path
-    (countHits + a partial kthGreatest, MatchHashesAndScoreQuery.java:52-85
-    / ArrayHitCounter.java:55-84): because each doc's L exploded rows are
-    produced inside the block where the doc lives, per-block counts are
-    final — no pre-cut aggregation shuffle is ever needed."""
+    With ``partial_cut=True`` (the default) each block's counts are also cut
+    to ``candidates`` per query — a superset of the global cut ONLY under the
+    doc-contiguity invariant: each doc's L exploded rows live in one block
+    (the direct output of one map_batches over the embedding blocks), so
+    per-block counts are COMPLETE.  This is the shared first half of the
+    one-shuffle LSH read path (countHits + a partial kthGreatest,
+    MatchHashesAndScoreQuery.java:52-85 / ArrayHitCounter.java:55-84).
+
+    Pass ``partial_cut=False`` when the band stream is NOT doc-contiguous
+    (e.g. the bucket-partitioned on-disk seek index scatters a doc's rows
+    across bucket dirs): blocks then emit uncut per-block counts — still a
+    per-block combiner (unique (query, doc) pairs, not raw collisions) —
+    and the cut happens only after :func:`merge_cut_candidates` sums them,
+    preserving exact kthGreatest semantics."""
 
     def count_cut(batch: pa.Table) -> pa.Table:
         bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
@@ -334,13 +344,15 @@ def count_cut_partials(bands, qindex: "QueryHashIndex", candidates: int):
         ukey, cnt = np.unique(key, return_counts=True)
         uq = ukey // len(udoc)
         nb = udoc[ukey % len(udoc)]
-        order = np.lexsort((nb, -cnt, uq))
-        keep = order[_within_runs(uq[order]) < candidates]
+        if partial_cut:
+            order = np.lexsort((nb, -cnt, uq))
+            keep = order[_within_runs(uq[order]) < candidates]
+            uq, nb, cnt = uq[keep], nb[keep], cnt[keep]
         return pa.table(
             {
-                "query_id": pa.array(qindex.query_ids[uq[keep]], pa.int64()),
-                "neighbor_id": pa.array(nb[keep], pa.int64()),
-                "n_bands": pa.array(cnt[keep].astype(np.int64), pa.int64()),
+                "query_id": pa.array(qindex.query_ids[uq], pa.int64()),
+                "neighbor_id": pa.array(nb, pa.int64()),
+                "n_bands": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )
 
@@ -546,6 +558,7 @@ def knn_lsh_cosine(
     concurrency=(1, 8),
     corpus_bands=None,
     rescore: bool = True,
+    bands_doc_contiguous: bool = True,
 ):
     """Approximate cosine kNN — the reference's full read path (SURVEY.md
     §3.2): hash the query vectors once (ElastiknnQueryBuilder step 3), count
@@ -601,7 +614,10 @@ def knn_lsh_cosine(
             batch_size=4096,
         )
     cand = merge_cut_candidates(
-        count_cut_partials(bands, qindex, candidates), candidates
+        count_cut_partials(
+            bands, qindex, candidates, partial_cut=bands_doc_contiguous
+        ),
+        candidates,
     )
     if not rescore:
         return _collision_score_topk(cand, k, lsh.L)
@@ -849,6 +865,7 @@ def knn_l2_lsh(
     candidates: int = 100,
     num_partitions: int = 16,
     corpus_bands=None,
+    bands_doc_contiguous: bool = True,
 ):
     """L2-LSH kNN with query-side MULTIPROBE expansion (L2LshModel.java:84-134
     after Qin et al. 2007 — the reference's published ann-benchmarks config
@@ -891,7 +908,10 @@ def knn_l2_lsh(
         )
     # one-shuffle count/cut (shared LSH read path; doc-contiguous blocks)
     cand = merge_cut_candidates(
-        count_cut_partials(bands, qindex, candidates), candidates
+        count_cut_partials(
+            bands, qindex, candidates, partial_cut=bands_doc_contiguous
+        ),
+        candidates,
     )
     return rescore_cosine_topk(cand, embeddings, query_ids, qm, k, metric="l2")
 
@@ -994,7 +1014,12 @@ def knn_lsh_cosine_seek(
         dead,
         "vec_id",
     )
+    # bucket-partitioned on-disk postings scatter a doc's L rows across
+    # bucket dirs/blocks → NOT doc-contiguous: per-block partial cuts could
+    # drop a doc whose collisions are spread 1-per-block even though its
+    # summed count survives the global kthGreatest cut.  Count uncut per
+    # block, cut only after the merge.
     return knn_lsh_cosine(
         vectors, query_ids_matrix, k, candidates=candidates, lsh=lsh,
-        corpus_bands=bands,
+        corpus_bands=bands, bands_doc_contiguous=False,
     )

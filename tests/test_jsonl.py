@@ -117,3 +117,35 @@ def test_write_jsonl_roundtrip(ray_session, tmp_path):
     assert (back.reason == "").all()
     assert sorted(back.doc_id) == [1, 2, 3]
     assert set(back.text) == {"a", "b\nc", "d"}
+
+
+def test_type_mismatched_valid_json_is_dead_lettered(ray_session, tmp_path):
+    """ADVICE r3 (medium): a line that is valid JSON but type-mismatched
+    (doc_id a string, text a number) must dead-letter THAT row, not crash
+    the whole batch in the slow-path from_pylist."""
+    import ray.data as rd
+
+    from elastiknn_ray.sources.jsonl import dead_letter_docs, parse_batch, valid_docs
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "good one", "lang": "en"}',
+                '{"doc_id": "abc", "text": "bad id", "lang": "en"}',
+                '{"doc_id": 3, "text": 42, "lang": "en"}',
+                '{"doc_id": 4, "text": "also good", "lang": "en"}',
+                '"just a string"',
+            ]
+        )
+        + "\n",
+        encoding="utf-8",
+    )
+    parsed = rd.read_text(str(p)).map_batches(
+        parse_batch, fn_kwargs={"langs": ("en",)}, batch_format="pyarrow"
+    )
+    ok = valid_docs(parsed).to_pandas()
+    bad = dead_letter_docs(parsed).to_pandas()
+    assert sorted(ok["doc_id"].tolist()) == [1, 4]
+    assert len(bad) == 3
+    assert set(bad["reason"]) == {"malformed_json"}

@@ -426,3 +426,61 @@ def test_lsh_paths_partition_invariant(ray_session):
         out = knn_hamming_lsh(ds, qs, k=5, lsh=cfg, candidates=50).to_pandas()
         outs.append(out.sort_values(["query_id", "rank"]).reset_index(drop=True))
     assert outs[0].equals(outs[1])
+
+
+def test_count_cut_no_partial_cut_on_scattered_bands(ray_session):
+    """ADVICE r3 (high): when a doc's L band rows are SCATTERED across blocks
+    (the bucket-partitioned seek index), the per-block partial cut can drop a
+    doc whose block-local counts are all 1 even though its SUMMED count tops
+    the global kthGreatest cut.  partial_cut=False must keep it; the
+    adversarial layout below demonstrates the deviation partial_cut=True
+    would produce (why the seek path sets the flag)."""
+    import ray.data as rd
+
+    from elastiknn_ray.stages.knn import (
+        QueryHashIndex,
+        count_cut_partials,
+        merge_cut_candidates,
+    )
+
+    # query 0 owns hashes 1..4; doc 100 collides once per block on h_b (sum
+    # 4); each block also holds two low-id docs colliding once — block-local
+    # ties cut doc 100 (neighbor_id asc) under candidates=2.
+    blocks = []
+    for b in range(1, 5):
+        blocks.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [10 * b + 1, 10 * b + 2, 100], pa.int64()
+                    ),
+                    "band_hash": pa.array([b, b, b], pa.uint64()),
+                }
+            )
+        )
+    bands = rd.from_arrow(blocks)
+    qindex = QueryHashIndex(
+        np.array([0], dtype=np.int64),
+        np.array([[1, 2, 3, 4]], dtype=np.uint64),
+    )
+
+    exact = (
+        merge_cut_candidates(
+            count_cut_partials(bands, qindex, 2, partial_cut=False), 2
+        )
+        .to_pandas()
+        .sort_values("neighbor_id")
+        .reset_index(drop=True)
+    )
+    # global kthGreatest: doc 100 (4 bands) then doc 11 (1 band, lowest id)
+    assert exact["neighbor_id"].tolist() == [11, 100]
+    assert exact.set_index("neighbor_id")["n_bands"].to_dict() == {100: 4, 11: 1}
+
+    # the doc-contiguity-assuming cut on this scattered layout loses doc 100
+    wrong = (
+        merge_cut_candidates(
+            count_cut_partials(bands, qindex, 2, partial_cut=True), 2
+        )
+        .to_pandas()
+    )
+    assert 100 not in set(wrong["neighbor_id"])
