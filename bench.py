@@ -272,7 +272,7 @@ def run_ann(num_cpus: int) -> dict:
     # fit/query split (ann-benchmarks protocol): build the band index once
     lsh_cfg = CosineLshConfig(dims=dims, L=100, k=12, seed=0)
     t0 = time.perf_counter()
-    index = build_cosine_band_index(emb, lsh_cfg)
+    index = build_cosine_band_index(emb, lsh_cfg, num_blocks=num_cpus)
     fit_s = time.perf_counter() - t0
 
     points = []
@@ -320,8 +320,7 @@ def run_ann_l2(num_cpus: int) -> dict:
     import ray.data as rd
 
     from elastiknn_ray.config import L2LshConfig
-    from elastiknn_ray.stages.float_lsh import l2_bands_fn
-    from elastiknn_ray.stages.knn import knn_exact_metric, knn_l2_lsh
+    from elastiknn_ray.stages.knn import build_l2_band_index, knn_exact_metric, knn_l2_lsh
 
     n, dims, n_q, k = 60_000, 784, 500, 100
     rng = np.random.default_rng(0)
@@ -351,10 +350,7 @@ def run_ann_l2(num_cpus: int) -> dict:
 
     lsh_cfg = L2LshConfig(dims=dims, L=175, k=7, w=3900, seed=0)
     t0 = time.perf_counter()
-    bands = emb.map_batches(
-        l2_bands_fn, fn_kwargs={"lsh": lsh_cfg}, batch_format="pyarrow",
-        batch_size=4096,
-    ).materialize()
+    index = build_l2_band_index(emb, lsh_cfg, num_blocks=num_cpus)
     fit_s = time.perf_counter() - t0
 
     points = []
@@ -362,7 +358,7 @@ def run_ann_l2(num_cpus: int) -> dict:
         t0 = time.perf_counter()
         approx = knn_l2_lsh(
             emb, q, k=k, lsh=lsh_cfg, candidates=candidates, probes=probes,
-            corpus_bands=bands,
+            corpus_bands=index,
         ).to_pandas()
         el = time.perf_counter() - t0
         recalls = [
@@ -640,6 +636,74 @@ def run_substring(num_cpus: int, n_docs: int, seed: int) -> dict:
     }
 
 
+def run_decisions(num_cpus: int, n_docs: int, seed: int) -> dict:
+    """End-product scale point: the CHECKPOINTED keep/drop decision pipeline
+    (exact + near + substring → one decision per doc) over a synthetic
+    n_docs corpus written to Parquet first, reporting per-stage lineage
+    timings from the manifests and manifest coverage (every stage must
+    leave a MANIFEST.json — the resumability contract)."""
+    _init_ray(num_cpus)
+    import json as _json
+    import os
+    import shutil
+
+    from elastiknn_ray.pipelines.queries import DOCS_DEDUP_CFG
+    from elastiknn_ray.sources.synth import pages_dataset
+    from elastiknn_ray.stages.substring import SubstringConfig
+    from elastiknn_ray.state.checkpoint import checkpointed_dedup_decisions
+
+    pages_path = f"/tmp/bench_pages_{n_docs}_{seed}"
+    if not os.path.exists(os.path.join(pages_path, "_DONE")):
+        shutil.rmtree(pages_path, ignore_errors=True)
+        pages_dataset(n_docs, seed, override_num_blocks=64).write_parquet(pages_path)
+        open(os.path.join(pages_path, "_DONE"), "w").write("ok")
+    root = f"/tmp/bench_ckpt_{n_docs}_{seed}"
+    shutil.rmtree(root, ignore_errors=True)  # cold run: no resume credit
+    t0 = time.perf_counter()
+    decisions, runner = checkpointed_dedup_decisions(
+        pages_path,
+        DOCS_DEDUP_CFG,
+        root,
+        sub_cfg=SubstringConfig(
+            target_blob_bytes=4 << 20, min_partitions=4 * num_cpus
+        ),
+        num_partitions=16,
+    )
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keep = drop = 0
+    reasons: dict = {}
+    for b in decisions.iter_batches(batch_format="pyarrow"):
+        k = int(pc.sum(pc.cast(b.column("keep"), pa.int64())).as_py() or 0)
+        keep += k
+        drop += b.num_rows - k
+        for r, c in zip(*np.unique(b.column("reason").to_numpy(zero_copy_only=False), return_counts=True)):
+            reasons[str(r)] = reasons.get(str(r), 0) + int(c)
+    elapsed = time.perf_counter() - t0
+    stages = runner.metrics()
+    covered = [
+        s
+        for s in os.listdir(root)
+        if os.path.isfile(os.path.join(root, s, "MANIFEST.json"))
+    ]
+    return {
+        "metric": "decisions_docs_per_sec",
+        "value": round(n_docs / elapsed, 1),
+        "unit": "docs/sec",
+        "n_docs": n_docs,
+        "elapsed_sec": round(elapsed, 2),
+        "keep": keep,
+        "drop": drop,
+        "reasons": reasons,
+        "stages": stages,
+        "manifest_stages": sorted(covered),
+        "manifest_coverage": len(covered),
+        "num_cpus": num_cpus,
+    }
+
+
 def run_scaling(repeats: int = 2) -> dict:
     """Fresh subprocess per parallelism level (clean Ray session, cold plan).
 
@@ -695,6 +759,7 @@ def main() -> None:
     ap.add_argument("--flagship", action="store_true", help="single fresh-session flagship run")
     ap.add_argument("--emb-dedup", action="store_true", help="embedding near-dup scale run")
     ap.add_argument("--substring", action="store_true", help="substring-dedup scale run")
+    ap.add_argument("--decisions", action="store_true", help="checkpointed keep/drop decisions scale run")
     ap.add_argument("--n", type=int, default=200_000, help="vector count for --emb-dedup")
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--docs", type=int, default=SCALING_DOCS)
@@ -717,6 +782,8 @@ def main() -> None:
         result = run_emb_dedup(args.cpus, args.n)
     elif args.substring:
         result = run_substring(args.cpus, args.docs, SCALING_SEED)
+    elif args.decisions:
+        result = run_decisions(args.cpus, args.docs, SCALING_SEED)
     else:
         result = run_queries(SF_DIR, args.cpus, args.repeats)
 

@@ -24,21 +24,67 @@ import pyarrow.json as pj
 
 #: unified output schema of the parse stage: raw parsed fields + parse
 #: status.  Docs carry either a ``doc_id`` (re-ingest of engine output) or
-#: a ``url`` (fresh crawl rows; id derived by blake2 like the Parquet path)
+#: a ``url`` (fresh crawl rows; id derived by blake2 like the Parquet path).
+#: Vector fields accept BOTH the reference's JSON forms
+#: (docs/pages/api.md:29-81, XContentCodec.scala): dense ``embedding`` as
+#: ``{"values": [...]}`` or the bare-array shorthand; sparse ``signature``
+#: as ``{"true_indices": [...], "total_indices": n}`` or the
+#: ``[[...], n]`` shorthand.  The bare dense array is the only form the
+#: vectorized fast parse types natively; any other form drops the batch to
+#: the per-line slow path, which normalizes row by row.
 _FIELDS = [
     ("doc_id", pa.int64()),
     ("url", pa.string()),
     ("text", pa.string()),
     ("lang", pa.string()),
+    ("embedding", pa.list_(pa.float64())),
+    ("sig_indices", pa.list_(pa.int64())),
+    ("sig_total", pa.int64()),
 ]
 _PARSE_SCHEMA = pa.schema(_FIELDS)
+
+#: what the FAST pyarrow.json parse sees: the raw doc fields; ``signature``
+#: object form is typed as a struct so single-form corpora stay on the fast
+#: path; shorthand ``[[...], n]`` (heterogeneous list) falls to slow.
+_FAST_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("url", pa.string()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("embedding", pa.list_(pa.float64())),
+        (
+            "signature",
+            pa.struct(
+                [("true_indices", pa.list_(pa.int64())), ("total_indices", pa.int64())]
+            ),
+        ),
+    ]
+)
+
+
+def _num_list(v, what: str) -> list[float]:
+    if not isinstance(v, list) or any(
+        isinstance(x, bool) or not isinstance(x, (int, float)) for x in v
+    ):
+        raise ValueError(f"{what} not a numeric list")
+    return [float(x) for x in v]
+
+
+def _int_list(v, what: str) -> list[int]:
+    if not isinstance(v, list) or any(
+        isinstance(x, bool) or not isinstance(x, int) for x in v
+    ):
+        raise ValueError(f"{what} not an integer list")
+    return v
 
 
 def _coerce_row(obj: dict) -> dict:
     """Schema-check one parsed object against _PARSE_SCHEMA's field types;
     raises ValueError on any type mismatch so the caller dead-letters the
     row instead of letting ``pa.Table.from_pylist`` fail the WHOLE batch
-    (reject-don't-crash, VectorMapper.scala:28-29)."""
+    (reject-don't-crash, VectorMapper.scala:28-29).  Normalizes BOTH vector
+    JSON forms (object + shorthand, docs/pages/api.md:29-81)."""
     doc_id = obj.get("doc_id")
     if doc_id is not None and (isinstance(doc_id, bool) or not isinstance(doc_id, int)):
         raise ValueError("doc_id not an integer")
@@ -48,6 +94,28 @@ def _coerce_row(obj: dict) -> dict:
         if v is not None and not isinstance(v, str):
             raise ValueError(f"{f} not a string")
         row[f] = v
+    emb = obj.get("embedding")
+    if emb is None:
+        row["embedding"] = None
+    elif isinstance(emb, dict):  # object form {"values": [...]}
+        row["embedding"] = _num_list(emb.get("values"), "embedding.values")
+    else:  # bare-array shorthand
+        row["embedding"] = _num_list(emb, "embedding")
+    sig = obj.get("signature")
+    if sig is None:
+        row["sig_indices"] = None
+        row["sig_total"] = None
+    else:
+        if isinstance(sig, dict):  # object form
+            ti, tot = sig.get("true_indices"), sig.get("total_indices")
+        elif isinstance(sig, list) and len(sig) == 2:  # [[...], n] shorthand
+            ti, tot = sig
+        else:
+            raise ValueError("signature not object or 2-item shorthand")
+        if isinstance(tot, bool) or not isinstance(tot, int):
+            raise ValueError("total_indices not an integer")
+        row["sig_indices"] = _int_list(ti, "true_indices")
+        row["sig_total"] = tot
     return row
 
 
@@ -56,11 +124,25 @@ def _parse_lines(lines: list[str]) -> tuple[pa.Table, np.ndarray]:
     malformed input, per-line isolation (slow path, malformed rows only).
     Returns (parsed table, bad-line mask)."""
     blob = ("\n".join(lines)).encode("utf-8")
-    opts = pj.ParseOptions(explicit_schema=_PARSE_SCHEMA, unexpected_field_behavior="ignore")
+    opts = pj.ParseOptions(explicit_schema=_FAST_SCHEMA, unexpected_field_behavior="ignore")
     try:
         t = pj.read_json(io.BytesIO(blob), parse_options=opts)
         if t.num_rows == len(lines):
             bad = np.zeros(len(lines), dtype=bool)
+            sig = t.column("signature")
+            if isinstance(sig, pa.ChunkedArray):
+                sig = sig.combine_chunks()
+            t = pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "url": t.column("url"),
+                    "text": t.column("text"),
+                    "lang": t.column("lang"),
+                    "embedding": t.column("embedding"),
+                    "sig_indices": sig.field("true_indices"),
+                    "sig_total": sig.field("total_indices"),
+                }
+            ).cast(_PARSE_SCHEMA)
             return t, bad
     except pa.ArrowInvalid:
         pass
@@ -113,6 +195,9 @@ def parse_batch(batch: pa.Table, *, langs: tuple[str, ...]) -> pa.Table:
             "url": url,
             "text": text,
             "lang": lang,
+            "embedding": t.column("embedding"),
+            "sig_indices": t.column("sig_indices"),
+            "sig_total": t.column("sig_total"),
             "reason": pa.array(reason.tolist(), pa.string()),
         }
     )
@@ -135,13 +220,19 @@ def valid_docs(parsed):
     """Accepted rows as (doc_id, text, lang): a row's own doc_id wins; rows
     carrying only a url get the stable blake2 id (the Parquet ingest's
     derivation, stages/hashing.doc_id_of_url)."""
-    from elastiknn_ray.stages.hashing import doc_id_of_url
+    from elastiknn_ray.stages.hashing import doc_ids_of_url_array
 
     def accept(t: pa.Table) -> pa.Table:
         kept = t.filter(pc.equal(t.column("reason"), pa.scalar("")))
-        ids = kept.column("doc_id").to_pylist()
-        urls = kept.column("url").to_pylist()
-        out = [i if i is not None else doc_id_of_url(u) for i, u in zip(ids, urls)]
+        ids = kept.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        out = pc.fill_null(ids, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        need = np.asarray(ids.is_null().to_numpy(zero_copy_only=False), bool)
+        if need.any():  # url-only rows: batched blake2 derivation
+            out[need] = doc_ids_of_url_array(
+                kept.filter(pa.array(need)).column("url")
+            ).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "doc_id": pa.array(out, pa.int64()),
@@ -151,6 +242,27 @@ def valid_docs(parsed):
         )
 
     return parsed.map_batches(accept, batch_format="pyarrow")
+
+
+def valid_vectors(parsed):
+    """Accepted rows carrying a vector, as (doc_id, embedding, sig_indices,
+    sig_total) — both the object and shorthand JSON forms arrive here
+    normalized (docs/pages/api.md:29-81)."""
+    import pyarrow.compute as _pc
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = _pc.and_kleene(
+            _pc.equal(t.column("reason"), pa.scalar("")),
+            _pc.or_kleene(
+                _pc.invert(t.column("embedding").is_null()),
+                _pc.invert(t.column("sig_indices").is_null()),
+            ),
+        )
+        return t.filter(keep).select(
+            ["doc_id", "embedding", "sig_indices", "sig_total"]
+        )
+
+    return parsed.map_batches(f, batch_format="pyarrow")
 
 
 def dead_letter_docs(parsed):

@@ -52,6 +52,40 @@ def doc_id_of_url(url: str) -> int:
     return int.from_bytes(h, "little") & 0x7FFFFFFFFFFFFFFF
 
 
+def doc_ids_of_url_array(col) -> pa.Array:
+    """Batched doc-id derivation over a string column: one zero-copy view of
+    the Arrow offsets + data buffers, digests taken over memoryview slices —
+    no per-row Python string objects, no to_pylist.  The per-row blake2b
+    call itself is inherent to the digest choice (id stability is pinned;
+    there is no batch API for cryptographic digests).  Byte-identical to
+    mapping :func:`doc_id_of_url` over the column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    out = np.empty(n, np.int64)
+    if n == 0:
+        return pa.array(out, pa.int64())
+    if col.null_count:
+        raise ValueError("null url in doc-id derivation (validate upstream, I1)")
+    bufs = col.buffers()
+    # string array: [validity, offsets(int32 or int64), data]
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        col.offset : col.offset + n + 1
+    ].tolist()  # python ints: C-speed memoryview slicing below
+    mv = memoryview(bufs[2])
+    b2 = hashlib.blake2b
+    fb = int.from_bytes
+    mask = 0x7FFFFFFFFFFFFFFF
+    lo = offs[0]
+    for i in range(n):
+        hi = offs[i + 1]
+        d = b2(mv[lo:hi], digest_size=8).digest()
+        out[i] = fb(d, "little") & mask
+        lo = hi
+    return pa.array(out, pa.int64())
+
+
 def prepare_batch(batch: pa.Table) -> pa.Table:
     """Ensure ``doc_id`` (stable url hash unless the input already carries
     ids) and ``text`` (extracted from html when absent)."""
@@ -59,8 +93,7 @@ def prepare_batch(batch: pa.Table) -> pa.Table:
     if "doc_id" in names:
         ids = batch.column("doc_id").cast(pa.int64())
     else:
-        urls = batch.column("url").to_pylist()
-        ids = pa.array([doc_id_of_url(u) for u in urls], pa.int64())
+        ids = doc_ids_of_url_array(batch.column("url"))
     if "text" in names:
         texts = batch.column("text")
     else:

@@ -20,10 +20,9 @@ partitions (documented partitioning assumption).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
-from elastiknn_ray.stages.knn import _to_matrix
+from elastiknn_ray.stages.knn import _to_matrix, _within_runs, topk_per_query
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -99,45 +98,38 @@ def knn_ivf_cosine(
         m = _normalize(_to_matrix(batch.column("embedding")))
         ids = batch.column("vec_id").to_numpy()
         cell = (m @ cents.T).argmax(axis=1)
-        mask = probed_lut[:, cell]  # (Q, B) — mask BEFORE scoring
-        out_q, out_n, out_s = [], [], []
-        for qi in range(len(query_ids)):
-            cand = np.flatnonzero(mask[qi])
-            if len(cand) == 0:
-                continue
-            s = 1.0 + m[cand] @ qm[qi]  # score only probed-cell rows
-            kk = min(k + 1, len(cand))
-            top_local = np.argpartition(-s, kk - 1)[:kk]
-            keep = ids[cand[top_local]] != query_ids[qi]
-            top_local = top_local[keep]
-            out_q.append(np.full(len(top_local), query_ids[qi], dtype=np.int64))
-            out_n.append(ids[cand[top_local]])
-            out_s.append(s[top_local])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
+        mask = probed_lut[:, cell]  # (Q, B) — mask decides BEFORE scoring
+        q_ix, d_ix = np.nonzero(mask)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if len(q_ix) == 0:
+            return empty
+        # one matmul for the whole batch (masked-matmul + lexsort-cut, the
+        # SparseSetTopK pattern) — no per-query Python loop
+        scores = 1.0 + qm @ m.T  # (Q, B)
+        sc = scores[q_ix, d_ix]
+        neigh = ids[d_ix]
+        # partial per-query top-(k+1) with the DETERMINISTIC
+        # (score desc, neighbor_id asc) tie-break (+1 covers the self row
+        # removed at the final merge)
+        order = np.lexsort((neigh, -sc, q_ix))
+        within = _within_runs(q_ix[order])
+        keep = order[within < k + 1]
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-                "score": pa.array(np.concatenate(out_s), pa.float64()),
+                "query_id": pa.array(query_ids[q_ix[keep]], pa.int64()),
+                "neighbor_id": pa.array(neigh[keep], pa.int64()),
+                "score": pa.array(sc[keep], pa.float64()),
             }
         )
 
     partials = embeddings.map_batches(scan, batch_format="pyarrow", batch_size=4096)
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "neighbor_id", "score"]]
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return topk_per_query(partials, k, exclude_self=True)
 
 
 def write_ivf_index(

@@ -15,7 +15,6 @@ Scores use the reference's cosine convention: 1 + cos ∈ [0, 2]
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -85,14 +84,9 @@ def knn_exact(embeddings, query_ids_matrix: dict, k: int, *, concurrency=(1, 8))
         batch_size=4096,
         concurrency=concurrency,
     )
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "neighbor_id", "score"]]
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    # vectorized many-queries-per-partition final merge (no per-query pandas;
+    # self-hits already dropped in BruteForceTopK)
+    return topk_per_query(partials, k, exclude_self=True)
 
 
 def knn_exact_metric(embeddings, query_ids_matrix: dict, k: int, metric: str):
@@ -147,14 +141,7 @@ def knn_exact_metric(embeddings, query_ids_matrix: dict, k: int, metric: str):
     partials = embeddings.map_batches(
         score_batch, batch_format="pyarrow", batch_size=4096
     )
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "neighbor_id", "score"]]
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return topk_per_query(partials, k, exclude_self=True)
 
 
 class QueryHashIndex:
@@ -241,6 +228,39 @@ def _within_runs(keys: np.ndarray) -> np.ndarray:
     starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
     run_lens = np.diff(np.r_[starts, len(keys)])
     return np.arange(len(keys), dtype=np.int64) - np.repeat(starts, run_lens)
+
+
+def _kth_greatest_mask(
+    uq: np.ndarray, nb: np.ndarray, cnt: np.ndarray, candidates: int, nq: int
+) -> np.ndarray:
+    """Vectorized multi-query kthGreatest (ArrayHitCounter.java:55-84):
+    keep, per query, every pair with count > kth (the ``candidates``-th
+    greatest count) plus count == kth ties by ascending neighbor_id up to
+    the budget.  Histogram selection — O(P + nq * max_count); the only sort
+    touches threshold-tie rows.  ``uq`` must be dense query indices in
+    [0, nq)."""
+    if len(cnt) == 0:
+        return np.zeros(0, dtype=bool)
+    cmax = int(cnt.max())
+    hist = np.bincount(
+        uq * np.int64(cmax + 1) + cnt, minlength=nq * (cmax + 1)
+    ).reshape(nq, cmax + 1)
+    # rev[q, c] = number of pairs with count >= c, c in 0..cmax+1
+    rev = np.zeros((nq, cmax + 2), dtype=np.int64)
+    rev[:, :cmax + 1] = hist[:, ::-1].cumsum(axis=1)[:, ::-1]
+    # kth[q] = largest c >= 1 with rev[q, c] >= candidates, else 0 (keep all)
+    ge = rev[:, 1 : cmax + 1] >= candidates  # columns are c = 1..cmax
+    any_ge = ge.any(axis=1)
+    kth = np.where(any_ge, cmax - np.argmax(ge[:, ::-1], axis=1), 0)
+    mask = cnt > kth[uq]
+    tie_rows = np.flatnonzero((kth[uq] > 0) & (cnt == kth[uq]))
+    if len(tie_rows):
+        rem = candidates - rev[np.arange(nq), np.minimum(kth + 1, cmax + 1)]
+        order = np.lexsort((nb[tie_rows], uq[tie_rows]))
+        t_sorted = tie_rows[order]
+        within = _within_runs(uq[t_sorted])
+        mask[t_sorted[within < rem[uq[t_sorted]]]] = True
+    return mask
 
 
 def _coarse_query_key(ds, n_parts: int):
@@ -339,14 +359,32 @@ def count_cut_partials(
         )
         if len(q_ix) == 0:
             return empty
-        udoc, local = np.unique(docs[rows], return_inverse=True)
-        key = q_ix * len(udoc) + local
-        ukey, cnt = np.unique(key, return_counts=True)
-        uq = ukey // len(udoc)
-        nb = udoc[ukey % len(udoc)]
+        # O(E) doc factorization: ``rows`` is ascending and band tables are
+        # doc-major (each doc's L rows contiguous), so docs[rows] is
+        # run-per-doc — change-point coding replaces a full np.unique sort.
+        # On a NON-doc-major stream a doc just yields several runs whose
+        # partial counts the merge stage sums (correct either way).
+        dr = docs[rows]
+        change = np.r_[True, dr[1:] != dr[:-1]]
+        run_ix = np.cumsum(change) - 1
+        udoc = dr[change]
+        n_runs = len(udoc)
+        nq = len(qindex.query_ids)
+        key = q_ix * np.int64(n_runs) + run_ix
+        if nq * n_runs <= 64_000_000:
+            # counting sort: one O(E) bincount over compacted (query, run)
+            # codes — no O(E log E) sort ever touches the collision stream
+            flat = np.bincount(key, minlength=nq * n_runs)
+            nz = np.flatnonzero(flat)
+            cnt = flat[nz]
+            uq = nz // n_runs
+            nb = udoc[nz % n_runs]
+        else:  # huge query waves: fall back to the sort-based unique
+            ukey, cnt = np.unique(key, return_counts=True)
+            uq = ukey // n_runs
+            nb = udoc[ukey % n_runs]
         if partial_cut:
-            order = np.lexsort((nb, -cnt, uq))
-            keep = order[_within_runs(uq[order]) < candidates]
+            keep = _kth_greatest_mask(uq, nb, cnt, candidates, nq)
             uq, nb, cnt = uq[keep], nb[keep], cnt[keep]
         return pa.table(
             {
@@ -404,11 +442,12 @@ def merge_cut_candidates(partials, candidates: int, *, n_parts: int = 32):
     )
 
 
-class CosineBandIndex:
+class BandIndex:
     """Materialized band postings + stored vectors — the engine's analogue
     of a Lucene segment (postings dict + doc values; HashingQuery.index,
     HashingQuery.scala:88-99, StoredVecReader.scala:8-27).  Build once,
-    query many times.
+    query many times.  ``metric`` selects the exact re-score kernel
+    ("cosine" → 1+cos, "l2" → 1/(1+dist); ExactModel.java:26-38).
 
     Invariant the fast read path relies on: ``bands`` blocks are
     DOC-CONTIGUOUS (each doc's L exploded rows live in one block, the
@@ -416,24 +455,48 @@ class CosineBandIndex:
     per-block (query, doc) collision counts are COMPLETE — no cross-block
     aggregation shuffle is needed before the candidate cut."""
 
-    def __init__(self, bands, lsh, vec_refs):
+    def __init__(self, bands, lsh, vec_refs, metric: str = "cosine"):
         self.bands = bands
         self.lsh = lsh
         self.vec_refs = vec_refs
+        self.metric = metric
 
 
-def build_cosine_band_index(embeddings, lsh) -> CosineBandIndex:
-    """embeddings → CosineBandIndex.  The stored vectors stay in the object
+#: backwards-compatible name (pre-r4 the index was cosine-only)
+CosineBandIndex = BandIndex
+
+
+def _build_band_index(embeddings, lsh, bands_fn, metric, num_blocks) -> BandIndex:
+    emb = embeddings.select_columns(["vec_id", "embedding"])
+    if num_blocks:
+        # the count stage parallelizes per band BLOCK: a small corpus read
+        # from one Arrow table would otherwise collapse to 2-3 fat blocks
+        # and starve the CPUs (at 100 TB the read supplies plenty of blocks
+        # and this repartition is a no-op to request)
+        emb = emb.repartition(num_blocks)
+    emb = emb.materialize()
+    bands = emb.map_batches(
+        bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow",
+        batch_size=4096,
+    ).materialize()
+    return BandIndex(bands=bands, lsh=lsh, vec_refs=emb.to_arrow_refs(), metric=metric)
+
+
+def build_cosine_band_index(embeddings, lsh, *, num_blocks: int | None = None) -> BandIndex:
+    """embeddings → cosine BandIndex.  The stored vectors stay in the object
     store as the materialized embedding blocks' refs (one copy cluster-wide;
     readers map them zero-copy)."""
     from elastiknn_ray.stages.cosine_lsh import cosine_bands_fn
 
-    emb = embeddings.select_columns(["vec_id", "embedding"]).materialize()
-    bands = emb.map_batches(
-        cosine_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow",
-        batch_size=4096,
-    ).materialize()
-    return CosineBandIndex(bands=bands, lsh=lsh, vec_refs=emb.to_arrow_refs())
+    return _build_band_index(embeddings, lsh, cosine_bands_fn, "cosine", num_blocks)
+
+
+def build_l2_band_index(embeddings, lsh, *, num_blocks: int | None = None) -> BandIndex:
+    """embeddings → L2 BandIndex (stable-distribution bands,
+    L2LshModel.java:70-82); same segment model as the cosine index."""
+    from elastiknn_ray.stages.float_lsh import l2_bands_fn
+
+    return _build_band_index(embeddings, lsh, l2_bands_fn, "l2", num_blocks)
 
 
 #: worker-process cache of gathered stored vectors, keyed by the ref tuple:
@@ -442,8 +505,8 @@ def build_cosine_band_index(embeddings, lsh) -> CosineBandIndex:
 _VEC_CACHE: dict = {}
 
 
-def _gathered_vectors(vec_refs) -> tuple[np.ndarray, np.ndarray]:
-    key = tuple(r.hex() for r in vec_refs)
+def _gathered_vectors(vec_refs, metric: str = "cosine") -> tuple[np.ndarray, np.ndarray]:
+    key = (metric,) + tuple(r.hex() for r in vec_refs)
     hit = _VEC_CACHE.get(key)
     if hit is not None:
         return hit
@@ -458,9 +521,11 @@ def _gathered_vectors(vec_refs) -> tuple[np.ndarray, np.ndarray]:
         ids = np.concatenate(ids_parts)
         m = np.vstack(mats)
         order = np.argsort(ids, kind="stable")
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        out = (ids[order], (m / norms)[order])
+        if metric == "cosine":
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            m = m / norms
+        out = (ids[order], m[order])
     else:
         out = (np.empty(0, np.int64), np.empty((0, 0)))
     _VEC_CACHE.clear()  # hold at most one corpus per worker
@@ -468,26 +533,28 @@ def _gathered_vectors(vec_refs) -> tuple[np.ndarray, np.ndarray]:
     return out
 
 
-def _knn_lsh_cosine_indexed(
-    index: CosineBandIndex, query_ids: np.ndarray, qm: np.ndarray, k: int,
+def _knn_lsh_indexed(
+    index: BandIndex,
+    query_ids: np.ndarray,
+    qm: np.ndarray,
+    qindex: "QueryHashIndex",
+    k: int,
     candidates: int,
 ):
-    """Fast indexed read path: ONE pass over doc-contiguous band blocks
-    computing complete per-block (query, doc) collision counts + a partial
-    per-query cut, then a single per-query shuffle whose group UDF merges
-    the partials, cuts to ``candidates``, exact-re-scores against the
-    cached stored vectors and emits the top-k.  One shuffle total, and the
-    shuffled rows are already cut to O(blocks * Q * candidates)."""
-    from elastiknn_ray.models.params import derive_hyperplanes
-    from elastiknn_ray.stages.cosine_lsh import hyperplane_band_hashes
-
-    lsh = index.lsh
-    planes = derive_hyperplanes(lsh).planes.astype(np.float64)
-    qh = hyperplane_band_hashes(qm, planes, lsh.L, lsh.k)
-    qindex = QueryHashIndex(query_ids, qh)
-    qnorms = np.linalg.norm(qm, axis=1, keepdims=True)
-    qnorms[qnorms == 0] = 1.0
-    q_ref = ray.put({"ids": query_ids, "qn": qm / qnorms})
+    """Fast indexed read path (any band metric): ONE pass over
+    doc-contiguous band blocks computing complete per-block (query, doc)
+    collision counts + a partial per-query cut, then a single per-query
+    shuffle whose group UDF merges the partials, cuts to ``candidates``,
+    exact-re-scores against the cached stored vectors and emits the top-k.
+    One shuffle total, and the shuffled rows are already cut to
+    O(blocks * Q * candidates)."""
+    metric = index.metric
+    if metric == "cosine":
+        qnorms = np.linalg.norm(qm, axis=1, keepdims=True)
+        qnorms[qnorms == 0] = 1.0
+        q_ref = ray.put({"ids": query_ids, "qm": qm / qnorms})
+    else:
+        q_ref = ray.put({"ids": query_ids, "qm": np.asarray(qm, dtype=np.float64)})
     vec_refs = index.vec_refs
 
     partials = count_cut_partials(index.bands, qindex, candidates)
@@ -511,17 +578,26 @@ def _knn_lsh_cosine_indexed(
         qi = t.column("query_id").to_numpy(zero_copy_only=False)
         ni = t.column("neighbor_id").to_numpy(zero_copy_only=False)
         nb = t.column("n_bands").to_numpy(zero_copy_only=False)
-        # merge partials + global per-query cut
-        order = np.lexsort((ni, -nb, qi))
+        # merge partials (sum split pairs) + global per-query cut
+        o = np.lexsort((ni, qi))
+        qs, ns, nbs = qi[o], ni[o], nb[o]
+        newg = np.r_[True, (qs[1:] != qs[:-1]) | (ns[1:] != ns[:-1])]
+        total = np.add.reduceat(nbs, np.flatnonzero(newg))
+        qi, ni = qs[newg], ns[newg]
+        order = np.lexsort((ni, -total, qi))
         keep = order[_within_runs(qi[order]) < candidates]
         qi, ni = qi[keep], ni[keep]
         # exact re-score against the cached stored vectors
-        ids_s, mat = _gathered_vectors(vec_refs)
+        ids_s, mat = _gathered_vectors(vec_refs, metric)
         qd = ray.get(q_ref)
         q_sorted_ix = np.argsort(qd["ids"], kind="stable")
         qix = q_sorted_ix[np.searchsorted(qd["ids"][q_sorted_ix], qi)]
         vix = np.searchsorted(ids_s, ni)
-        score = 1.0 + np.einsum("ij,ij->i", qd["qn"][qix], mat[vix])
+        if metric == "cosine":
+            score = 1.0 + np.einsum("ij,ij->i", qd["qm"][qix], mat[vix])
+        else:
+            d = qd["qm"][qix] - mat[vix]
+            score = 1.0 / (1.0 + np.sqrt(np.einsum("ij,ij->i", d, d)))
         # self-exclusion + per-query top-k with (score desc, neighbor) ties
         m = ni != qi
         qi, ni, score = qi[m], ni[m], score[m]
@@ -581,13 +657,25 @@ def knn_lsh_cosine(
 
     query_ids = np.asarray(query_ids_matrix["ids"], dtype=np.int64)
     qm = np.asarray(query_ids_matrix["matrix"], dtype=np.float64)
-    if isinstance(corpus_bands, CosineBandIndex):
+    if isinstance(corpus_bands, BandIndex):
+        if corpus_bands.metric != "cosine":
+            raise ValueError(
+                f"index metric {corpus_bands.metric!r} != query metric 'cosine' "
+                "(ElastiknnQueryBuilder.scala:38-92 compatibility check)"
+            )
         if corpus_bands.lsh.dims != qm.shape[1]:
             raise ValueError(
                 f"query dims {qm.shape[1]} != index dims {corpus_bands.lsh.dims} "
                 "(ElastiknnQueryBuilder.scala:38-92 compatibility check)"
             )
-        return _knn_lsh_cosine_indexed(corpus_bands, query_ids, qm, k, candidates)
+        from elastiknn_ray.models.params import derive_hyperplanes
+        from elastiknn_ray.stages.cosine_lsh import hyperplane_band_hashes
+
+        ilsh = corpus_bands.lsh
+        planes = derive_hyperplanes(ilsh).planes.astype(np.float64)
+        qh = hyperplane_band_hashes(qm, planes, ilsh.L, ilsh.k)
+        qindex = QueryHashIndex(query_ids, qh)
+        return _knn_lsh_indexed(corpus_bands, query_ids, qm, qindex, k, candidates)
     lsh = lsh or CosineLshConfig(dims=qm.shape[1], L=32, k=8, seed=0)
     if lsh.dims != qm.shape[1]:
         raise ValueError(
@@ -628,17 +716,24 @@ def _collision_score_topk(cand, k: int, n_tables: int):
     """Q5 score-function mode (no re-rank): score = matchingHashes /
     totalHashes — the reference's function_score variant, explicitly NOT
     exact-re-scored (HashingQuery.scala:40-83; the classic MinHash estimator
-    when k=1).  Deterministic (score desc, neighbor_id) ordering."""
+    when k=1).  Deterministic (score desc, neighbor_id) ordering via the
+    shared vectorized topk_per_query merge."""
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["neighbor_id"] != g["query_id"]]
-        g = g.sort_values(["n_bands", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["score"] = g["n_bands"].to_numpy(dtype=np.float64) / float(n_tables)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "neighbor_id", "score"]]
+    def to_score(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": t.column("query_id"),
+                "neighbor_id": t.column("neighbor_id"),
+                "score": pa.array(
+                    t.column("n_bands").to_numpy(zero_copy_only=False)
+                    / np.float64(n_tables),
+                    pa.float64(),
+                ),
+            }
+        )
 
-    return cand.groupby("query_id").map_groups(topk, batch_format="pandas")
+    scored = cand.map_batches(to_score, batch_format="pyarrow")
+    return topk_per_query(scored, k, exclude_self=True)
 
 
 def rescore_cosine_topk(
@@ -748,15 +843,109 @@ def rescore_cosine_topk(
         batch_size=16384,
         concurrency=(1, 8),
     )
+    return topk_per_query(scored, k, exclude_self=True)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["neighbor_id"] != g["query_id"]]
-        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "neighbor_id", "score"]]
 
-    return scored.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+def fetch_indexed_vectors(
+    source, ids, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> dict:
+    """Cross-table ``Vec.Indexed`` resolution
+    (ElasticsearchQueryBuilder.scala:94-160: the indexed-vector query may
+    point at a DIFFERENT index; the rewrite fetches the stored vector by id
+    and re-plans with the literal).  ``source`` is a Parquet path/dir (read
+    with predicate pushdown — only matching row groups leave storage) or a
+    ``ray.data.Dataset``.  Returns the standard query wave
+    {"ids", "matrix"}; raises if any id is missing (the reference's rewrite
+    fails the search on a missing doc)."""
+    ids = np.unique(np.asarray(ids, dtype=np.int64))
+    if isinstance(source, str):
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(source).to_table(
+            columns=[id_col, vec_col],
+            filter=pads.field(id_col).isin(ids.tolist()),
+        )
+    else:
+        want = ids
+
+        def filt(b: pa.Table) -> pa.Table:
+            d = b.column(id_col).to_numpy(zero_copy_only=False)
+            if len(want) == 0:
+                return b.slice(0, 0)
+            p = np.minimum(np.searchsorted(want, d), len(want) - 1)
+            return b.filter(pa.array(want[p] == d))
+
+        refs = (
+            source.select_columns([id_col, vec_col])
+            .map_batches(filt, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        t = pa.concat_tables([ray.get(r) for r in refs])
+    got = t.column(id_col).to_numpy(zero_copy_only=False)
+    missing = np.setdiff1d(ids, got)
+    if len(missing):
+        raise KeyError(
+            f"indexed-vector ids not found in source table: {missing[:5].tolist()}"
+        )
+    order = np.argsort(got, kind="stable")
+    return {
+        "ids": got[order],
+        "matrix": _to_matrix(t.column(vec_col))[order],
+    }
+
+
+def rescore_topn(
+    scored,
+    embeddings,
+    query_ids_matrix: dict,
+    *,
+    n: int,
+    k: int,
+    metric: str = "cosine",
+    n_parts: int = 32,
+):
+    """Generic query rescorer — the reference's ES ``rescore`` composition
+    (QueryRescorerSuite.scala; FunctionScoreQuerySuite.scala:19-40): take
+    ANY scored (query_id, neighbor_id, score) Dataset produced by an
+    arbitrary upstream query, keep the top-``n`` per query by the UPSTREAM
+    score (ties by neighbor_id asc), exact-re-score those candidates under
+    ``metric`` against the stored vectors (HashingQuery.scala:23-38
+    semantics: final decisions always use exact similarity) and return the
+    per-query top-``k`` by the exact score.
+
+    One coarse-keyed shuffle for the cut; the rescore reuses the shared
+    gated-broadcast verify machinery of :func:`rescore_cosine_topk`.
+    """
+    query_ids = np.asarray(query_ids_matrix["ids"], dtype=np.int64)
+    qm = np.asarray(query_ids_matrix["matrix"], dtype=np.float64)
+
+    def cut(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        qi = t.column("query_id").to_numpy(zero_copy_only=False)
+        ni = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        sc = t.column("score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ni, -sc, qi))
+        keep = order[_within_runs(qi[order]) < n]
+        return pa.table(
+            {
+                "query_id": pa.array(qi[keep], pa.int64()),
+                "neighbor_id": pa.array(ni[keep], pa.int64()),
+            }
+        )
+
+    cand = (
+        _coarse_query_key(scored.select_columns(["query_id", "neighbor_id", "score"]), n_parts)
+        .groupby("part")
+        .map_groups(lambda t: cut(t.drop_columns(["part"])), batch_format="pyarrow")
+    )
+    return rescore_cosine_topk(cand, embeddings, query_ids, qm, k, metric=metric)
 
 
 def count_capped_hits(
@@ -845,13 +1034,21 @@ def knn_perm_cosine(
         batch_format="pyarrow",
     )
     counts = count_capped_hits(corpus_rows, qindex, q_freq_sorted)
-
-    def cut(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["hits", "neighbor_id"], ascending=[False, True]
-        ).head(candidates)
-
-    cand = counts.groupby("query_id").map_groups(cut, batch_format="pandas")
+    # per-query candidate cut on the shared vectorized merge (hits play the
+    # n_bands role; counts are already global so the merge's sum is a no-op)
+    cand = merge_cut_candidates(
+        counts.map_batches(
+            lambda t: pa.table(
+                {
+                    "query_id": t.column("query_id"),
+                    "neighbor_id": t.column("neighbor_id"),
+                    "n_bands": t.column("hits"),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        candidates,
+    )
     return rescore_cosine_topk(cand, embeddings, query_ids, qm, k)
 
 
@@ -885,20 +1082,38 @@ def knn_l2_lsh(
             f"query dims {qm.shape[1]} != mapping dims {lsh.dims} "
             "(ElastiknnQueryBuilder.scala:38-92 compatibility check)"
         )
+    if isinstance(corpus_bands, BandIndex):
+        if corpus_bands.metric != "l2":
+            raise ValueError(
+                f"index metric {corpus_bands.metric!r} != query metric 'l2' "
+                "(ElastiknnQueryBuilder.scala:38-92 compatibility check)"
+            )
+        lsh = corpus_bands.lsh
     p = derive_l2(lsh)
     a, b = p.A.astype(np.float64), p.B.astype(np.float64)
 
-    # query-side probe expansion (driver: Q small; the probe heap is
-    # inherently sequential per query)
-    per_q = [
-        l2_probe_hashes(qm[i], a, b, float(lsh.w), lsh.L, lsh.k, probes)
-        for i in range(len(query_ids))
-    ]
-    sizes = np.array([len(h) for h in per_q], dtype=np.int64)
-    offsets = np.zeros(len(per_q) + 1, dtype=np.int64)
-    np.cumsum(sizes, out=offsets[1:])
-    values = np.concatenate(per_q) if per_q else np.empty(0, np.uint64)
-    qindex = QueryHashIndex.from_ragged(query_ids, offsets, values)
+    if probes == 0:
+        # no-probe wave: one vectorized matmul+floor+FNV pass — identical
+        # hashes to the per-query heap path's first L entries
+        from elastiknn_ray.stages.float_lsh import l2_band_hashes
+
+        qh = l2_band_hashes(qm, a, b, float(lsh.w), lsh.L, lsh.k)
+        qindex = QueryHashIndex(query_ids, qh)
+    else:
+        # query-side probe expansion (driver: Q small; the probe heap is
+        # inherently sequential per query)
+        per_q = [
+            l2_probe_hashes(qm[i], a, b, float(lsh.w), lsh.L, lsh.k, probes)
+            for i in range(len(query_ids))
+        ]
+        sizes = np.array([len(h) for h in per_q], dtype=np.int64)
+        offsets = np.zeros(len(per_q) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        values = np.concatenate(per_q) if per_q else np.empty(0, np.uint64)
+        qindex = QueryHashIndex.from_ragged(query_ids, offsets, values)
+
+    if isinstance(corpus_bands, BandIndex):
+        return _knn_lsh_indexed(corpus_bands, query_ids, qm, qindex, k, candidates)
 
     bands = corpus_bands  # fit-once/query-many injection (index-once model)
     if bands is None:

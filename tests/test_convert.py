@@ -1,0 +1,68 @@
+"""Converter on-ramp tests — client-python/elastiknn/utils.py parity
+(canonical_vectors_to_elastiknn / csr / ndarray conversions)."""
+
+from collections import namedtuple
+
+import numpy as np
+import pyarrow as pa
+
+from elastiknn_ray.sources.convert import (
+    bool_ndarray_to_signatures,
+    canonical_to_table,
+    csr_to_signatures,
+    embeddings_to_ndarray,
+    ndarray_to_embeddings,
+    signatures_to_csr_arrays,
+)
+from elastiknn_ray.stages.hashing import decode_u64_lists
+
+FakeCsr = namedtuple("FakeCsr", ["indptr", "indices", "shape"])
+
+
+def test_ndarray_embedding_roundtrip():
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(17, 9)).astype(np.float32)
+    t = ndarray_to_embeddings(m, ids=np.arange(100, 117))
+    ids, back = embeddings_to_ndarray(t)
+    assert (ids == np.arange(100, 117)).all()
+    assert (back == m).all()
+    assert t.schema.field("embedding").type == pa.list_(pa.float32())
+
+
+def test_csr_signature_roundtrip_sorted():
+    indptr = np.array([0, 3, 3, 5], dtype=np.int64)
+    indices = np.array([1, 4, 9, 2, 7], dtype=np.int64)
+    t = csr_to_signatures(FakeCsr(indptr, indices, (3, 10)))
+    offs, vals = decode_u64_lists(t.column("shingles"))
+    assert (offs == indptr).all() and (vals.astype(np.int64) == indices).all()
+    assert t.column("n_shingles").to_pylist() == [3, 0, 2]
+    ids, indptr2, indices2 = signatures_to_csr_arrays(t)
+    assert (indptr2 == indptr).all() and (indices2 == indices).all()
+
+
+def test_csr_unsorted_rows_canonicalized():
+    """Unsorted/duplicated indices violate I2 (VectorMapper.scala:31 sorts at
+    index time; SparseUnsortedIndicesSuite regression) — converter fixes
+    ONLY the violating rows."""
+    indptr = np.array([0, 3, 6], dtype=np.int64)
+    indices = np.array([4, 1, 4, 2, 5, 9], dtype=np.int64)
+    t = csr_to_signatures(FakeCsr(indptr, indices, (2, 10)))
+    offs, vals = decode_u64_lists(t.column("shingles"))
+    assert vals[offs[0] : offs[1]].tolist() == [1, 4]
+    assert vals[offs[1] : offs[2]].tolist() == [2, 5, 9]
+
+
+def test_bool_ndarray_and_dispatch():
+    arr = np.zeros((3, 6), dtype=bool)
+    arr[0, [1, 4]] = True
+    arr[2, [0, 5]] = True
+    t = bool_ndarray_to_signatures(arr)
+    offs, vals = decode_u64_lists(t.column("shingles"))
+    assert t.column("n_shingles").to_pylist() == [2, 0, 2]
+    assert vals.astype(int).tolist() == [1, 4, 0, 5]
+    # dispatch: float → embeddings, bool → signatures, csr-shaped → signatures
+    assert "embedding" in canonical_to_table(np.ones((2, 3))).column_names
+    assert "shingles" in canonical_to_table(arr).column_names
+    assert "shingles" in canonical_to_table(
+        FakeCsr(np.array([0, 1]), np.array([2]), (1, 5))
+    ).column_names

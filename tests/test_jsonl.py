@@ -149,3 +149,44 @@ def test_type_mismatched_valid_json_is_dead_lettered(ray_session, tmp_path):
     assert sorted(ok["doc_id"].tolist()) == [1, 4]
     assert len(bad) == 3
     assert set(bad["reason"]) == {"malformed_json"}
+
+
+def test_shorthand_and_object_vector_forms(ray_session, tmp_path):
+    """Both JSON vector forms of the reference (docs/pages/api.md:29-81):
+    dense object {"values": [...]} == bare-array shorthand; sparse object
+    {"true_indices", "total_indices"} == [[...], n] shorthand.  Mixed-shape
+    corpora parse; only genuinely malformed vectors dead-letter."""
+    import ray.data as rd
+
+    from elastiknn_ray.sources.jsonl import (
+        dead_letter_docs,
+        parse_batch,
+        valid_vectors,
+    )
+
+    p = tmp_path / "vecs.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "a", "lang": "en", "embedding": [0.1, 0.2]}',
+                '{"doc_id": 2, "text": "b", "lang": "en", "embedding": {"values": [0.3, 0.4]}}',
+                '{"doc_id": 3, "text": "c", "lang": "en", "signature": {"true_indices": [1, 5], "total_indices": 10}}',
+                '{"doc_id": 4, "text": "d", "lang": "en", "signature": [[2, 7], 10]}',
+                '{"doc_id": 5, "text": "e", "lang": "en", "embedding": {"values": ["x"]}}',
+                '{"doc_id": 6, "text": "f", "lang": "en"}',
+            ]
+        )
+        + "\n",
+        encoding="utf-8",
+    )
+    parsed = rd.read_text(str(p)).map_batches(
+        parse_batch, fn_kwargs={"langs": ("en",)}, batch_format="pyarrow"
+    )
+    rows = sorted(valid_vectors(parsed).take_all(), key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in rows] == [1, 2, 3, 4]
+    assert list(rows[0]["embedding"]) == [0.1, 0.2]
+    assert list(rows[1]["embedding"]) == [0.3, 0.4]
+    assert list(rows[2]["sig_indices"]) == [1, 5] and rows[2]["sig_total"] == 10
+    assert list(rows[3]["sig_indices"]) == [2, 7] and rows[3]["sig_total"] == 10
+    bad = dead_letter_docs(parsed).to_pandas()
+    assert len(bad) == 1 and bad["reason"].tolist() == ["malformed_json"]

@@ -335,3 +335,20 @@ def test_capped_hits_property(query_terms, corpus_rows):
             if hq == hh:
                 want[d] = want.get(d, 0) + min(fq, fd)
     assert got == {k: v for k, v in want.items() if v > 0}
+
+
+def test_doc_ids_of_url_array_matches_scalar():
+    """Batched buffer-based url→doc_id derivation is byte-identical to the
+    scalar blake2 function, including on sliced (non-zero offset) columns."""
+    import numpy as np
+    import pyarrow as pa
+
+    from elastiknn_ray.stages.hashing import doc_id_of_url, doc_ids_of_url_array
+
+    urls = [f"https://ex.org/{i}?q={i * 13}" for i in range(512)] + ["", "a"]
+    col = pa.array(urls, pa.string())
+    want = np.array([doc_id_of_url(u) for u in urls], dtype=np.int64)
+    got = doc_ids_of_url_array(col).to_numpy()
+    assert (got == want).all()
+    sl = pa.table({"u": col}).slice(100, 300).column("u")
+    assert (doc_ids_of_url_array(sl).to_numpy() == want[100:400]).all()
