@@ -353,6 +353,16 @@ def run_ann_l2(num_cpus: int) -> dict:
     index = build_l2_band_index(emb, lsh_cfg, num_blocks=num_cpus)
     fit_s = time.perf_counter() - t0
 
+    # untimed warmup wave: first indexed-path call pays one-time per-worker
+    # costs (worker spawn + stored-vector gather into the per-process cache)
+    # that belong to the fit, not the steady-state read path the published
+    # ann-benchmarks QPS measures
+    t0 = time.perf_counter()
+    knn_l2_lsh(
+        emb, q, k=k, lsh=lsh_cfg, candidates=100, probes=0, corpus_bands=index
+    ).materialize()
+    warm_s = time.perf_counter() - t0
+
     points = []
     for candidates, probes in ((100, 0), (500, 0), (1000, 0), (500, 2)):
         t0 = time.perf_counter()
@@ -385,6 +395,7 @@ def run_ann_l2(num_cpus: int) -> dict:
             "elapsed_sec": round(exact_s, 2),
         },
         "fit_sec": round(fit_s, 2),
+        "warmup_sec": round(warm_s, 2),
         "lsh": {"L": lsh_cfg.L, "k": lsh_cfg.k, "w": lsh_cfg.w},
         "lsh_points": points,
         "num_cpus": num_cpus,

@@ -58,17 +58,102 @@ class L2LshBandStage:
         )
 
 
-def _fnv_band_scalar(ix_l: int, ints: np.ndarray) -> int:
-    """Band identity for one (table, k-int-tuple) — EXACTLY the encoding of
-    :func:`l2_band_hashes` so probe hashes collide with corpus bands."""
-    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
-        h = _FNV_OFFSET
-        h = (h ^ np.uint64(ix_l)) * _FNV_PRIME
-        for v in ints:
-            u = np.int64(v).astype(np.int64).view(np.uint64)
-            h = (h ^ u) * _FNV_PRIME
-            h = (h ^ (u >> np.uint64(32))) * _FNV_PRIME
-    return int(h)
+def _fnv_encode_rows(table_ix: np.ndarray, ints: np.ndarray) -> np.ndarray:
+    """Vectorized band identity for (M,) table indices + (M, k) int-tuples —
+    EXACTLY the mixing of :func:`l2_band_hashes` so probe hashes collide with
+    corpus bands."""
+    vals = np.ascontiguousarray(ints, dtype=np.int64).view(np.uint64)
+    h = np.full(len(ints), _FNV_OFFSET, dtype=np.uint64)
+    h = (h ^ table_ix.astype(np.uint64)) * _FNV_PRIME
+    for j in range(vals.shape[1]):
+        v = vals[:, j]
+        h = (h ^ v) * _FNV_PRIME
+        h = (h ^ (v >> np.uint64(32))) * _FNV_PRIME
+    return h
+
+
+def _probe_rows(
+    proj: np.ndarray, hashes: np.ndarray, w: float, L: int, k: int, probes: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Qin-2007 perturbation-set traversal for ONE query: returns the emitted
+    (table_ix, k-int-tuple) rows in heap-pop order (first the L unperturbed
+    bands, then up to L*probes perturbed ones).  Hash encoding is deferred to
+    the vectorized :func:`_fnv_encode_rows` — this function is pure integer
+    bookkeeping around a small heap."""
+    import heapq
+
+    hk = hashes.reshape(L, k)
+    # candidate perturbations, vectorized: flat slot f = 2*ixk + (delta=+1),
+    # matching the original insertion order so stable-sort tie order is
+    # preserved (the reference's Java heap leaves tie order unspecified)
+    dneg = proj.reshape(L, k) - hk * w
+    dist2 = np.empty((L, 2 * k), dtype=np.float64)
+    dist2[:, 0::2] = np.abs(dneg)
+    dist2[:, 1::2] = np.abs(w - dneg)
+    order = np.argsort(dist2, axis=1, kind="stable")
+    s_ixk = (order >> 1).tolist()
+    s_delta = np.where(order & 1, 1, -1).tolist()
+    s_dist = np.take_along_axis(dist2, order, axis=1).tolist()
+
+    n_out = L
+    want = L * probes
+    ints_out = np.empty((L + want, k), dtype=np.int64)
+    ints_out[:L] = hk
+    table_out = np.empty(L + want, dtype=np.uint64)
+    table_out[:L] = np.arange(L, dtype=np.uint64)
+
+    # perturbation set = (dist_sum, counter, ix_l, ix_max, members {ixk: delta})
+    heap: list = []
+    counter = 0
+
+    def push(ix_l, members, ix_max, dist_sum):
+        nonlocal counter
+        heapq.heappush(heap, (dist_sum, counter, ix_l, ix_max, members))
+        counter += 1
+
+    def shift(ix_l, members, ix_max, dist_sum):
+        if ix_max + 1 == 2 * k:
+            return None
+        cixk = s_ixk[ix_l][ix_max]
+        cdist = s_dist[ix_l][ix_max]
+        nixk = s_ixk[ix_l][ix_max + 1]
+        nm = dict(members)
+        nm.pop(cixk, None)
+        nm[nixk] = s_delta[ix_l][ix_max + 1]
+        ns = dist_sum - cdist + s_dist[ix_l][ix_max + 1]
+        if nixk in members and cixk != nixk:
+            return shift(ix_l, nm, ix_max + 1, ns)
+        return (ix_l, nm, ix_max + 1, ns)
+
+    def expand(ix_l, members, ix_max, dist_sum):
+        if ix_max + 1 == 2 * k:
+            return None
+        nixk = s_ixk[ix_l][ix_max + 1]
+        nm = dict(members)
+        nm[nixk] = s_delta[ix_l][ix_max + 1]
+        ns = dist_sum + s_dist[ix_l][ix_max + 1]
+        if nixk in members:
+            return shift(ix_l, nm, ix_max + 1, ns)
+        return (ix_l, nm, ix_max + 1, ns)
+
+    for ix_l in range(L):
+        push(ix_l, {s_ixk[ix_l][0]: s_delta[ix_l][0]}, 0, s_dist[ix_l][0])
+
+    while heap and n_out < L + want:
+        dist_sum, _, ix_l, ix_max, members = heapq.heappop(heap)
+        for nxt in (
+            shift(ix_l, members, ix_max, dist_sum),
+            expand(ix_l, members, ix_max, dist_sum),
+        ):
+            if nxt is not None:
+                push(*nxt)
+        row = ints_out[n_out]
+        row[:] = hk[ix_l]
+        for ixk, delta in members.items():
+            row[ixk] += delta
+        table_out[n_out] = ix_l
+        n_out += 1
+    return table_out[:n_out], ints_out[:n_out]
 
 
 def l2_probe_hashes(
@@ -84,82 +169,49 @@ def l2_probe_hashes(
     by insertion order (the reference's Java heap leaves tie order
     unspecified).
     """
-    import heapq
-
     max_probes = 3**k - 1
     probes = max(0, min(probes, max_probes))
     proj = a @ v + b  # (L*k,)
     hashes = np.floor(proj / w).astype(np.int64)
-    out = []
-    sorted_perts: list[list[tuple[int, int, float]]] = []  # per table
-    for ix_l in range(L):
-        ints = hashes[ix_l * k : (ix_l + 1) * k]
-        out.append(_fnv_band_scalar(ix_l, ints))
-        cands = []
-        for ixk in range(k):
-            p = proj[ix_l * k + ixk]
-            h = hashes[ix_l * k + ixk]
-            dneg = p - h * w
-            cands.append((ixk, -1, abs(dneg)))
-            cands.append((ixk, 1, abs(w - dneg)))
-        cands.sort(key=lambda t: t[2])
-        sorted_perts.append(cands)
     if probes == 0:
-        return np.array(out, dtype=np.uint64)
+        return _fnv_encode_rows(
+            np.arange(L, dtype=np.uint64), hashes.reshape(L, k)
+        )
+    table_ix, ints = _probe_rows(proj, hashes, w, L, k, probes)
+    return _fnv_encode_rows(table_ix, ints)
 
-    # perturbation set = (ix_l, ix_max, members {ixk: delta})
-    heap: list = []
-    counter = 0
 
-    def push(ix_l, members, ix_max, dist_sum):
-        nonlocal counter
-        heapq.heappush(heap, (dist_sum, counter, ix_l, ix_max, members))
-        counter += 1
-
-    def shift(ix_l, members, ix_max, dist_sum):
-        cands = sorted_perts[ix_l]
-        if ix_max + 1 == len(cands):
-            return None
-        cixk, _, cdist = cands[ix_max]
-        nixk, ndelta, ndist = cands[ix_max + 1]
-        nm = dict(members)
-        nm.pop(cixk, None)
-        nm[nixk] = ndelta
-        ns = dist_sum - cdist + ndist
-        if nixk in members and cixk != nixk:
-            return shift(ix_l, nm, ix_max + 1, ns)
-        return (ix_l, nm, ix_max + 1, ns)
-
-    def expand(ix_l, members, ix_max, dist_sum):
-        cands = sorted_perts[ix_l]
-        if ix_max + 1 == len(cands):
-            return None
-        nixk, ndelta, ndist = cands[ix_max + 1]
-        nm = dict(members)
-        nm[nixk] = ndelta
-        ns = dist_sum + ndist
-        if nixk in members:
-            return shift(ix_l, nm, ix_max + 1, ns)
-        return (ix_l, nm, ix_max + 1, ns)
-
-    for ix_l in range(L):
-        ixk, delta, dist = sorted_perts[ix_l][0]
-        push(ix_l, {ixk: delta}, 0, dist)
-
-    want = L * probes
-    while heap and len(out) < L + want:
-        dist_sum, _, ix_l, ix_max, members = heapq.heappop(heap)
-        for nxt in (
-            shift(ix_l, members, ix_max, dist_sum),
-            expand(ix_l, members, ix_max, dist_sum),
-        ):
-            if nxt is not None:
-                push(*nxt)
-        ints = hashes[ix_l * k : (ix_l + 1) * k].copy()
-        for ixk, delta in members.items():
-            ints[ixk] += delta
-        out.append(_fnv_band_scalar(ix_l, ints))
-    return np.array(out, dtype=np.uint64)
+def l2_probe_hashes_many(
+    qm: np.ndarray, a: np.ndarray, b: np.ndarray, w: float, L: int, k: int, probes: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-query probe expansion: ONE (Nq, L*k) projection matmul for the
+    whole wave, the per-query heap traversal on precomputed rows, and one
+    vectorized FNV encode over all emitted hashes.  Returns ragged
+    (offsets (Nq+1,), values) — row i's hashes are values[offsets[i]:
+    offsets[i+1]], identical to per-query :func:`l2_probe_hashes`."""
+    max_probes = 3**k - 1
+    probes = max(0, min(probes, max_probes))
+    proj_all = qm @ a.T + b[None, :]  # (Nq, L*k)
+    hashes_all = np.floor(proj_all / w).astype(np.int64)
+    n_q = len(qm)
+    if probes == 0:
+        vals = _fnv_encode_rows(
+            np.tile(np.arange(L, dtype=np.uint64), n_q),
+            hashes_all.reshape(n_q * L, k),
+        )
+        return np.arange(0, (n_q + 1) * L, L, dtype=np.int64), vals
+    tables, ints, sizes = [], [], np.empty(n_q, dtype=np.int64)
+    for i in range(n_q):
+        t, m = _probe_rows(proj_all[i], hashes_all[i], w, L, k, probes)
+        tables.append(t)
+        ints.append(m)
+        sizes[i] = len(t)
+    offsets = np.zeros(n_q + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    if n_q == 0:
+        return offsets, np.empty(0, np.uint64)
+    vals = _fnv_encode_rows(np.concatenate(tables), np.vstack(ints))
+    return offsets, vals
 
 
 def permutation_hashes(m: np.ndarray, k: int, repeating: bool) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

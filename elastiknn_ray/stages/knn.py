@@ -455,11 +455,17 @@ class BandIndex:
     per-block (query, doc) collision counts are COMPLETE — no cross-block
     aggregation shuffle is needed before the candidate cut."""
 
-    def __init__(self, bands, lsh, vec_refs, metric: str = "cosine"):
+    def __init__(self, bands, lsh, vec_refs, metric: str = "cosine", sorted_vec_ref=None):
         self.bands = bands
         self.lsh = lsh
         self.vec_refs = vec_refs
         self.metric = metric
+        #: ObjectRef to the ONE gathered (sorted ids, re-score matrix) pair,
+        #: built by a single build-time task — readers map it zero-copy from
+        #: the object store instead of each re-gathering and re-sorting the
+        #: corpus (N workers x full-corpus vstack+argsort was the dominant
+        #: first-query cost)
+        self.sorted_vec_ref = sorted_vec_ref
 
 
 #: backwards-compatible name (pre-r4 the index was cosine-only)
@@ -479,7 +485,14 @@ def _build_band_index(embeddings, lsh, bands_fn, metric, num_blocks) -> BandInde
         bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow",
         batch_size=4096,
     ).materialize()
-    return BandIndex(bands=bands, lsh=lsh, vec_refs=emb.to_arrow_refs(), metric=metric)
+    vec_refs = emb.to_arrow_refs()
+    # gather/sort/normalize the stored vectors ONCE, off-driver; the ref
+    # resolves lazily so the build does not block on it
+    sorted_ref = _gather_sorted_task.remote(vec_refs, metric)
+    return BandIndex(
+        bands=bands, lsh=lsh, vec_refs=vec_refs, metric=metric,
+        sorted_vec_ref=sorted_ref,
+    )
 
 
 def build_cosine_band_index(embeddings, lsh, *, num_blocks: int | None = None) -> BandIndex:
@@ -505,29 +518,40 @@ def build_l2_band_index(embeddings, lsh, *, num_blocks: int | None = None) -> Ba
 _VEC_CACHE: dict = {}
 
 
-def _gathered_vectors(vec_refs, metric: str = "cosine") -> tuple[np.ndarray, np.ndarray]:
-    key = (metric,) + tuple(r.hex() for r in vec_refs)
-    hit = _VEC_CACHE.get(key)
-    if hit is not None:
-        return hit
-    tables = ray.get(list(vec_refs))
+def _sort_gathered(tables, metric: str) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_id, embedding) tables → (sorted ids, id-sorted re-score matrix,
+    L2-normalized for cosine)."""
     ids_parts, mats = [], []
     for t in tables:
         if t.num_rows == 0:
             continue
         ids_parts.append(t.column("vec_id").to_numpy(zero_copy_only=False))
         mats.append(_to_matrix(t.column("embedding")))
-    if ids_parts:
-        ids = np.concatenate(ids_parts)
-        m = np.vstack(mats)
-        order = np.argsort(ids, kind="stable")
-        if metric == "cosine":
-            norms = np.linalg.norm(m, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            m = m / norms
-        out = (ids[order], m[order])
-    else:
-        out = (np.empty(0, np.int64), np.empty((0, 0)))
+    if not ids_parts:
+        return (np.empty(0, np.int64), np.empty((0, 0)))
+    ids = np.concatenate(ids_parts)
+    m = np.vstack(mats)
+    order = np.argsort(ids, kind="stable")
+    if metric == "cosine":
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+    return (ids[order], m[order])
+
+
+@ray.remote(num_cpus=1)
+def _gather_sorted_task(vec_refs, metric: str) -> tuple[np.ndarray, np.ndarray]:
+    """One cluster-wide gather+sort of the stored vectors; the result object
+    is mapped zero-copy by every re-score worker."""
+    return _sort_gathered(ray.get(list(vec_refs)), metric)
+
+
+def _gathered_vectors(vec_refs, metric: str = "cosine") -> tuple[np.ndarray, np.ndarray]:
+    key = (metric,) + tuple(r.hex() for r in vec_refs)
+    hit = _VEC_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _sort_gathered(ray.get(list(vec_refs)), metric)
     _VEC_CACHE.clear()  # hold at most one corpus per worker
     _VEC_CACHE[key] = out
     return out
@@ -556,6 +580,7 @@ def _knn_lsh_indexed(
     else:
         q_ref = ray.put({"ids": query_ids, "qm": np.asarray(qm, dtype=np.float64)})
     vec_refs = index.vec_refs
+    sorted_ref = getattr(index, "sorted_vec_ref", None)
 
     partials = count_cut_partials(index.bands, qindex, candidates)
 
@@ -587,8 +612,12 @@ def _knn_lsh_indexed(
         order = np.lexsort((ni, -total, qi))
         keep = order[_within_runs(qi[order]) < candidates]
         qi, ni = qi[keep], ni[keep]
-        # exact re-score against the cached stored vectors
-        ids_s, mat = _gathered_vectors(vec_refs, metric)
+        # exact re-score against the shared pre-sorted stored vectors
+        # (zero-copy plasma read; fallback re-gathers per worker process)
+        if sorted_ref is not None:
+            ids_s, mat = ray.get(sorted_ref)
+        else:
+            ids_s, mat = _gathered_vectors(vec_refs, metric)
         qd = ray.get(q_ref)
         q_sorted_ix = np.argsort(qd["ids"], kind="stable")
         qix = q_sorted_ix[np.searchsorted(qd["ids"][q_sorted_ix], qi)]
@@ -1072,7 +1101,7 @@ def knn_l2_lsh(
     (score = 1/(1+dist))."""
     from elastiknn_ray.config import L2LshConfig
     from elastiknn_ray.models.params import derive_l2
-    from elastiknn_ray.stages.float_lsh import l2_bands_fn, l2_probe_hashes
+    from elastiknn_ray.stages.float_lsh import l2_bands_fn, l2_probe_hashes_many
 
     query_ids = np.asarray(query_ids_matrix["ids"], dtype=np.int64)
     qm = np.asarray(query_ids_matrix["matrix"], dtype=np.float64)
@@ -1100,16 +1129,11 @@ def knn_l2_lsh(
         qh = l2_band_hashes(qm, a, b, float(lsh.w), lsh.L, lsh.k)
         qindex = QueryHashIndex(query_ids, qh)
     else:
-        # query-side probe expansion (driver: Q small; the probe heap is
-        # inherently sequential per query)
-        per_q = [
-            l2_probe_hashes(qm[i], a, b, float(lsh.w), lsh.L, lsh.k, probes)
-            for i in range(len(query_ids))
-        ]
-        sizes = np.array([len(h) for h in per_q], dtype=np.int64)
-        offsets = np.zeros(len(per_q) + 1, dtype=np.int64)
-        np.cumsum(sizes, out=offsets[1:])
-        values = np.concatenate(per_q) if per_q else np.empty(0, np.uint64)
+        # query-side probe expansion (driver: one wave-wide projection
+        # matmul + per-query integer heap, vectorized FNV encode at the end)
+        offsets, values = l2_probe_hashes_many(
+            qm, a, b, float(lsh.w), lsh.L, lsh.k, probes
+        )
         qindex = QueryHashIndex.from_ragged(query_ids, offsets, values)
 
     if isinstance(corpus_bands, BandIndex):
