@@ -397,6 +397,77 @@ def count_cut_partials(
     return bands.map_batches(count_cut, batch_format="pyarrow", batch_size=None)
 
 
+def count_cut_partials_sorted(bands, qindex: "QueryHashIndex", candidates: int):
+    """Seek-style collision counting over hash-SORTED postings blocks
+    (:func:`_sort_band_block` layout): per block, the Q*L query hash entries
+    binary-search into the sorted corpus hashes and only the actual
+    collision runs are expanded — O(Q*L*log M + E) per block instead of the
+    scan path's O(M*log(Q*L)), the in-memory analogue of seeking the query's
+    terms in the postings dict (MatchHashesAndScoreQuery.java:52-85).  Every
+    row of a doc lives in the block (sorting is within-block), so per-block
+    counts are complete and the partial kthGreatest cut is exact."""
+
+    def count_cut(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "n_bands": pa.array([], pa.int64()),
+            }
+        )
+        bh_s = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        if len(bh_s) == 0 or len(qindex.flat_sorted) == 0:
+            return empty
+        dloc = batch.column("doc_local").to_numpy(zero_copy_only=False)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        qf, qo = qindex.flat_sorted, qindex.owner_sorted
+        lo = np.searchsorted(bh_s, qf, side="left")
+        hi = np.searchsorted(bh_s, qf, side="right")
+        lens = hi - lo
+        e_total = int(lens.sum())
+        if e_total == 0:
+            return empty
+        hit = lens > 0
+        n_docs = int(dloc.max()) + 1
+        nq = len(qindex.query_ids)
+        # int32 expansion temporaries: positions index one block (< 2^31
+        # rows) and, on the bincount branch, keys are < nq*n_docs <= 64M —
+        # halves the memory traffic of the E-sized arrays
+        small = e_total < 2**31 - 1 and nq * n_docs <= 64_000_000
+        idt = np.int32 if small else np.int64
+        lh, lnh, qoh = lo[hit].astype(idt), lens[hit].astype(idt), qo[hit]
+        starts = np.zeros(len(lnh), dtype=idt)
+        np.cumsum(lnh[:-1], out=starts[1:])
+        within = np.arange(e_total, dtype=idt) - np.repeat(starts, lnh)
+        pos = np.repeat(lh, lnh) + within
+        q_ix = np.repeat(qoh.astype(idt), lnh)
+        key = q_ix * idt(n_docs) + dloc[pos].astype(idt, copy=False)
+        if small:
+            flat = np.bincount(key, minlength=nq * n_docs)
+            nz = np.flatnonzero(flat)
+            cnt = flat[nz]
+            uq = nz // n_docs
+            nb_loc = nz % n_docs
+        else:
+            ukey, cnt = np.unique(key, return_counts=True)
+            uq = ukey // n_docs
+            nb_loc = ukey % n_docs
+        udoc = np.empty(n_docs, dtype=np.int64)
+        udoc[dloc] = did
+        nb = udoc[nb_loc]
+        keep = _kth_greatest_mask(uq, nb, cnt, candidates, nq)
+        uq, nb, cnt = uq[keep], nb[keep], cnt[keep]
+        return pa.table(
+            {
+                "query_id": pa.array(qindex.query_ids[uq], pa.int64()),
+                "neighbor_id": pa.array(nb, pa.int64()),
+                "n_bands": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return bands.map_batches(count_cut, batch_format="pyarrow", batch_size=None)
+
+
 def merge_cut_candidates(partials, candidates: int, *, n_parts: int = 32):
     """ONE coarse-keyed shuffle merging the per-block partial counts into the
     global per-query candidate cut (kthGreatest semantics: ``candidates``
@@ -472,6 +543,36 @@ class BandIndex:
 CosineBandIndex = BandIndex
 
 
+def _sort_band_block(t: pa.Table) -> pa.Table:
+    """Doc-major exploded band block (each doc exactly L contiguous rows) →
+    hash-SORTED postings block: (band_hash sorted, doc_id co-sorted,
+    doc_local co-sorted compact code = original row // L).  Sorting is
+    within-block, so every row of a doc still lives in one block — per-block
+    counts stay complete and the partial kthGreatest cut stays exact."""
+    bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+    docs = t.column("doc_id").to_numpy(zero_copy_only=False)
+    n = len(bh)
+    if n == 0:
+        return pa.table(
+            {
+                "band_hash": pa.array([], pa.uint64()),
+                "doc_id": pa.array([], pa.int64()),
+                "doc_local": pa.array([], pa.int32()),
+            }
+        )
+    # rows arrive doc-major (np.repeat(ids, L)); L from the row/doc ratio
+    n_docs = len(np.flatnonzero(np.r_[True, docs[1:] != docs[:-1]]))
+    L = n // n_docs
+    order = np.argsort(bh, kind="stable")
+    return pa.table(
+        {
+            "band_hash": pa.array(bh[order], pa.uint64()),
+            "doc_id": pa.array(docs[order], pa.int64()),
+            "doc_local": pa.array((order // L).astype(np.int32), pa.int32()),
+        }
+    )
+
+
 def _build_band_index(embeddings, lsh, bands_fn, metric, num_blocks) -> BandIndex:
     emb = embeddings.select_columns(["vec_id", "embedding"])
     if num_blocks:
@@ -484,6 +585,8 @@ def _build_band_index(embeddings, lsh, bands_fn, metric, num_blocks) -> BandInde
     bands = emb.map_batches(
         bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow",
         batch_size=4096,
+    ).map_batches(
+        _sort_band_block, batch_format="pyarrow", batch_size=None
     ).materialize()
     vec_refs = emb.to_arrow_refs()
     # gather/sort/normalize the stored vectors ONCE, off-driver; the ref
@@ -582,7 +685,11 @@ def _knn_lsh_indexed(
     vec_refs = index.vec_refs
     sorted_ref = getattr(index, "sorted_vec_ref", None)
 
-    partials = count_cut_partials(index.bands, qindex, candidates)
+    if "doc_local" in index.bands.schema().names:
+        # hash-sorted postings layout: seek, don't scan
+        partials = count_cut_partials_sorted(index.bands, qindex, candidates)
+    else:
+        partials = count_cut_partials(index.bands, qindex, candidates)
 
     # final merge: ONE coarse-keyed shuffle (~n_parts partitions, each
     # handling many queries in one fully-vectorized kernel — no per-group
@@ -643,8 +750,39 @@ def _knn_lsh_indexed(
             }
         )
 
+    # The partial set is bounded (blocks x Q x candidates rows), so the
+    # usual case skips the sort-based shuffle entirely: n_parts plain tasks
+    # each map ALL partial blocks zero-copy from the object store and
+    # process their own query slice (query_id % n_parts) — an all-reads
+    # broadcast merge.  Above the size gate (huge block counts at cluster
+    # scale) fall back to the groupby shuffle.
+    parts_ds = partials.materialize()
+    if parts_ds.size_bytes() <= 512 * 1024 * 1024:
+        part_refs = parts_ds.to_arrow_refs()
+
+        @ray.remote(num_cpus=1)
+        def _merge_part(part_ix: int, refs):
+            tabs = ray.get(list(refs))
+            sel = []
+            for tb in tabs:
+                if tb.num_rows == 0:
+                    continue
+                qp = tb.column("query_id").to_numpy(zero_copy_only=False)
+                mask = (qp % np.int64(n_parts)) == part_ix
+                if mask.any():
+                    sel.append(tb.filter(pa.array(mask)))
+            if not sel:
+                return merge_rescore_topk(pa.table({}))
+            return merge_rescore_topk(pa.concat_tables(sel))
+
+        import ray.data as rd
+
+        return rd.from_arrow_refs(
+            [_merge_part.remote(i, part_refs) for i in range(n_parts)]
+        )
+
     return (
-        _coarse_query_key(partials, n_parts)
+        _coarse_query_key(parts_ds, n_parts)
         .groupby("part")
         .map_groups(
             lambda t: merge_rescore_topk(t.drop_columns(["part"])),
