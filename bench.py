@@ -364,13 +364,18 @@ def run_ann_l2(num_cpus: int) -> dict:
     warm_s = time.perf_counter() - t0
 
     points = []
+    reps = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     for candidates, probes in ((100, 0), (500, 0), (1000, 0), (500, 2)):
-        t0 = time.perf_counter()
-        approx = knn_l2_lsh(
-            emb, q, k=k, lsh=lsh_cfg, candidates=candidates, probes=probes,
-            corpus_bands=index,
-        ).to_pandas()
-        el = time.perf_counter() - t0
+        # best-of-N per point: this host's wall time jitters 4-15x under
+        # hugepage compaction/steal, so a single sample is meaningless
+        el = float("inf")
+        for _ in range(max(1, reps)):
+            t0 = time.perf_counter()
+            approx = knn_l2_lsh(
+                emb, q, k=k, lsh=lsh_cfg, candidates=candidates, probes=probes,
+                corpus_bands=index,
+            ).to_pandas()
+            el = min(el, time.perf_counter() - t0)
         recalls = [
             len(truth[qi] & set(approx[approx["query_id"] == qi]["neighbor_id"]))
             / max(len(truth[qi]), 1)
@@ -446,7 +451,7 @@ def run_ann_jaccard(num_cpus: int) -> dict:
                 ),
             }
         )
-    ).materialize()
+    ).repartition(num_cpus).materialize()
     qs = {
         "ids": np.arange(n_q, dtype=np.int64),
         "offsets": offsets[: n_q + 1].copy(),
@@ -462,23 +467,31 @@ def run_ann_jaccard(num_cpus: int) -> dict:
     }
 
     lsh_cfg = JaccardLshConfig(L=100, k=4, seed=0)
-    # fit/query split: hash the corpus into band postings ONCE (the
-    # reference's index-once model); each sweep point only pays the read path
+    # fit/query split: hash the corpus into HASH-SORTED band postings ONCE
+    # (the reference's index-once model + postings-seek layout); each sweep
+    # point only pays the read path
     from elastiknn_ray.stages.hashing import minhash_bands_fn
+    from elastiknn_ray.stages.knn import sort_band_blocks
 
     t0 = time.perf_counter()
-    bands = sigs.map_batches(
-        minhash_bands_fn, fn_kwargs={"lsh": lsh_cfg}, batch_format="pyarrow"
+    bands = sort_band_blocks(
+        sigs.map_batches(
+            minhash_bands_fn, fn_kwargs={"lsh": lsh_cfg}, batch_format="pyarrow",
+            batch_size=4096,
+        )
     ).materialize()
     fit_s = time.perf_counter() - t0
     points = []
+    reps = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     for candidates in (100, 500, 1000):
-        t0 = time.perf_counter()
-        approx = knn_lsh_jaccard(
-            sigs, qs, k=k, lsh=lsh_cfg, candidates=candidates,
-            corpus_bands=bands,
-        ).to_pandas()
-        el = time.perf_counter() - t0
+        el = float("inf")
+        for _ in range(max(1, reps)):
+            t0 = time.perf_counter()
+            approx = knn_lsh_jaccard(
+                sigs, qs, k=k, lsh=lsh_cfg, candidates=candidates,
+                corpus_bands=bands,
+            ).to_pandas()
+            el = min(el, time.perf_counter() - t0)
         recalls = [
             len(truth[qi] & set(approx[approx["query_id"] == qi]["neighbor_id"]))
             / max(len(truth[qi]), 1)

@@ -468,6 +468,25 @@ def count_cut_partials_sorted(bands, qindex: "QueryHashIndex", candidates: int):
     return bands.map_batches(count_cut, batch_format="pyarrow", batch_size=None)
 
 
+def sort_band_blocks(bands):
+    """Doc-major exploded band table → hash-sorted postings blocks (the
+    :func:`_sort_band_block` layout).  Materialize the result once and pass
+    it as ``corpus_bands`` to any LSH read path for seek-style counting."""
+    return bands.map_batches(
+        _sort_band_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+def count_cut_partials_auto(
+    bands, qindex: "QueryHashIndex", candidates: int, *, partial_cut: bool = True
+):
+    """Dispatch on the band-table layout: hash-sorted postings blocks
+    (``doc_local`` column present) seek; plain exploded band tables scan."""
+    if "doc_local" in bands.schema().names:
+        return count_cut_partials_sorted(bands, qindex, candidates)
+    return count_cut_partials(bands, qindex, candidates, partial_cut=partial_cut)
+
+
 def merge_cut_candidates(partials, candidates: int, *, n_parts: int = 32):
     """ONE coarse-keyed shuffle merging the per-block partial counts into the
     global per-query candidate cut (kthGreatest semantics: ``candidates``
@@ -869,7 +888,7 @@ def knn_lsh_cosine(
             batch_size=4096,
         )
     cand = merge_cut_candidates(
-        count_cut_partials(
+        count_cut_partials_auto(
             bands, qindex, candidates, partial_cut=bands_doc_contiguous
         ),
         candidates,
@@ -1283,9 +1302,10 @@ def knn_l2_lsh(
             l2_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow",
             batch_size=4096,
         )
-    # one-shuffle count/cut (shared LSH read path; doc-contiguous blocks)
+    # one-shuffle count/cut (shared LSH read path; seeks when the injected
+    # band table is hash-sorted, scans otherwise)
     cand = merge_cut_candidates(
-        count_cut_partials(
+        count_cut_partials_auto(
             bands, qindex, candidates, partial_cut=bands_doc_contiguous
         ),
         candidates,

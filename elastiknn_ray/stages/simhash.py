@@ -331,14 +331,18 @@ def knn_hamming_lsh(
     lsh: HammingLshConfig,
     candidates: int = 100,
     num_partitions: int = 16,
+    corpus_bands=None,
 ):
     """Approximate Hamming kNN — the HammingLshModel read path: bit-sampled
     band collisions (HammingLshModel.java:95-127) → per-query candidate cut
     → exact packed-Hamming re-score → top-k.  Counting + cut use the shared
-    ONE-shuffle path (count_cut_partials → merge_cut_candidates)."""
+    ONE-shuffle path (count_cut_partials → merge_cut_candidates).  Pass a
+    materialized band table (optionally :func:`~elastiknn_ray.stages.knn.
+    sort_band_blocks` postings) as ``corpus_bands`` to amortize corpus
+    hashing across query waves."""
     from elastiknn_ray.stages.knn import (
         QueryHashIndex,
-        count_cut_partials,
+        count_cut_partials_auto,
         merge_cut_candidates,
         topk_per_query,
     )
@@ -347,11 +351,13 @@ def knn_hamming_lsh(
     qh = bitsample_band_hashes(query_sigs["sig"], params)  # (Q, L)
     qindex = QueryHashIndex(query_sigs["ids"], qh)
 
-    bands = signatures.map_batches(
-        bitsample_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow"
-    )
+    bands = corpus_bands
+    if bands is None:
+        bands = signatures.map_batches(
+            bitsample_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow"
+        )
     cand = merge_cut_candidates(
-        count_cut_partials(bands, qindex, candidates), candidates,
+        count_cut_partials_auto(bands, qindex, candidates), candidates,
         n_parts=num_partitions,
     )
 

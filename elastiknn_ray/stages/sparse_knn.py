@@ -184,7 +184,10 @@ def knn_lsh_jaccard(
     from elastiknn_ray.models.minhash import _Workspace, band_hashes
     from elastiknn_ray.models.params import derive_minhash
     from elastiknn_ray.stages.hashing import minhash_bands_fn
-    from elastiknn_ray.stages.knn import count_cut_partials, merge_cut_candidates
+    from elastiknn_ray.stages.knn import (
+        count_cut_partials_auto,
+        merge_cut_candidates,
+    )
 
     lsh = lsh or JaccardLshConfig(L=32, k=3, seed=0)
     params = derive_minhash(lsh)
@@ -201,7 +204,7 @@ def knn_lsh_jaccard(
             minhash_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow"
         )
     cand = merge_cut_candidates(
-        count_cut_partials(corpus_bands, qindex, candidates), candidates,
+        count_cut_partials_auto(corpus_bands, qindex, candidates), candidates,
         n_parts=num_partitions,
     )
     pairs = cand.map_batches(

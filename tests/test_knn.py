@@ -484,3 +484,57 @@ def test_count_cut_no_partial_cut_on_scattered_bands(ray_session):
         .to_pandas()
     )
     assert 100 not in set(wrong["neighbor_id"])
+
+
+def test_knn_l2_indexed_seek_matches_streaming_probes(ray_session):
+    """The hash-sorted L2 BandIndex (seek counting + broadcast merge) must
+    return exactly what the streaming scan path returns, with and without
+    multiprobe expansion."""
+    import pandas as pd
+
+    from elastiknn_ray.config import L2LshConfig
+    from elastiknn_ray.stages.knn import build_l2_band_index, knn_l2_lsh
+
+    emb, m = _emb_ds()
+    q = {"ids": np.arange(10, dtype=np.int64), "matrix": m[:10].astype(np.float64)}
+    lsh = L2LshConfig(dims=32, L=16, k=3, w=4, seed=0)
+    index = build_l2_band_index(emb, lsh, num_blocks=4)
+    assert "doc_local" in index.bands.schema().names
+
+    def canon(df):
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    for probes in (0, 2):
+        a = knn_l2_lsh(emb, q, k=10, candidates=100, lsh=lsh, probes=probes).to_pandas()
+        b = knn_l2_lsh(
+            emb, q, k=10, candidates=100, probes=probes, corpus_bands=index
+        ).to_pandas()
+        pd.testing.assert_frame_equal(canon(a), canon(b))
+
+
+def test_sorted_raw_bands_auto_dispatch(ray_session):
+    """sort_band_blocks output injected as plain corpus_bands routes through
+    the seek kernel (count_cut_partials_auto) and matches the scan path."""
+    import pandas as pd
+
+    from elastiknn_ray.config import CosineLshConfig
+    from elastiknn_ray.stages.cosine_lsh import cosine_bands_fn
+    from elastiknn_ray.stages.knn import knn_lsh_cosine, sort_band_blocks
+
+    emb, m = _emb_ds()
+    q = {"ids": np.arange(8, dtype=np.int64), "matrix": m[:8].astype(np.float64)}
+    lsh = CosineLshConfig(dims=32, L=16, k=6, seed=0)
+    bands = emb.map_batches(
+        cosine_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow",
+        batch_size=4096,
+    )
+    sorted_bands = sort_band_blocks(bands).materialize()
+    a = knn_lsh_cosine(emb, q, k=5, candidates=50, lsh=lsh).to_pandas()
+    b = knn_lsh_cosine(
+        emb, q, k=5, candidates=50, lsh=lsh, corpus_bands=sorted_bands
+    ).to_pandas()
+
+    def canon(df):
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(a), canon(b))

@@ -199,3 +199,54 @@ def test_knn_hamming_lsh_recall_vs_exact(ray_session):
     total = sum(len(v) for v in e.values())
     assert total > 0
     assert hits / total >= 0.8, hits / total
+
+
+def test_knn_hamming_lsh_sorted_corpus_bands_match(ray_session):
+    """Injected hash-sorted band postings (fit/query split) route through the
+    seek kernel and return exactly the recomputed-bands result."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from elastiknn_ray.config import HammingLshConfig, ShingleConfig
+    from elastiknn_ray.sources.synth import pages_table
+    from elastiknn_ray.stages.hashing import SignatureStage, prepare_batch
+    from elastiknn_ray.stages.knn import sort_band_blocks
+    from elastiknn_ray.stages.simhash import (
+        SimHashStage,
+        bitsample_bands_fn,
+        gather_query_sigs,
+        knn_hamming_lsh,
+    )
+
+    dims = 256
+    docs = rd.from_arrow(pages_table(300, 11)).map_batches(
+        prepare_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "text"])
+    sigs = docs.map_batches(
+        SignatureStage(ShingleConfig(k=3)), batch_format="pyarrow"
+    ).map_batches(SimHashStage(dims), batch_format="pyarrow").materialize()
+    all_ids = np.sort(
+        np.concatenate(
+            [
+                b.column("doc_id").to_numpy(zero_copy_only=False)
+                for b in sigs.iter_batches(batch_format="pyarrow")
+            ]
+        )
+    )
+    qs = gather_query_sigs(sigs, all_ids[:8])
+    cfg = HammingLshConfig(dims=dims, L=64, k=3, seed=0)
+    bands = sort_band_blocks(
+        sigs.map_batches(
+            bitsample_bands_fn, fn_kwargs={"lsh": cfg}, batch_format="pyarrow"
+        )
+    ).materialize()
+    a = knn_hamming_lsh(sigs, qs, k=5, lsh=cfg, candidates=100).to_pandas()
+    b = knn_hamming_lsh(
+        sigs, qs, k=5, lsh=cfg, candidates=100, corpus_bands=bands
+    ).to_pandas()
+
+    def canon(df):
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(a), canon(b))

@@ -117,3 +117,31 @@ def test_knn_lsh_jaccard_partition_invariant(ray_session):
             out.sort_values(["query_id", "rank"]).reset_index(drop=True)
         )
     assert outs[0].equals(outs[1])
+
+
+def test_knn_lsh_jaccard_sorted_corpus_bands_match(ray_session):
+    """Hash-sorted band postings injected as corpus_bands (fit/query split +
+    seek kernel) return exactly the recomputed-bands result."""
+    import pandas as pd
+
+    from elastiknn_ray.config import JaccardLshConfig
+    from elastiknn_ray.stages.hashing import minhash_bands_fn
+    from elastiknn_ray.stages.knn import sort_band_blocks
+    from elastiknn_ray.stages.sparse_knn import knn_lsh_jaccard
+
+    sigs, qs, qids = _sigs_and_queries()
+    cfg = JaccardLshConfig(L=64, k=1, seed=0)
+    bands = sort_band_blocks(
+        sigs.map_batches(
+            minhash_bands_fn, fn_kwargs={"lsh": cfg}, batch_format="pyarrow"
+        )
+    ).materialize()
+    a = knn_lsh_jaccard(sigs, qs, k=5, lsh=cfg, candidates=50).to_pandas()
+    b = knn_lsh_jaccard(
+        sigs, qs, k=5, lsh=cfg, candidates=50, corpus_bands=bands
+    ).to_pandas()
+
+    def canon(df):
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(a), canon(b))
