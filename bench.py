@@ -467,19 +467,13 @@ def run_ann_jaccard(num_cpus: int) -> dict:
     }
 
     lsh_cfg = JaccardLshConfig(L=100, k=4, seed=0)
-    # fit/query split: hash the corpus into HASH-SORTED band postings ONCE
-    # (the reference's index-once model + postings-seek layout); each sweep
-    # point only pays the read path
-    from elastiknn_ray.stages.hashing import minhash_bands_fn
-    from elastiknn_ray.stages.knn import sort_band_blocks
+    # fit/query split: SparseBandIndex = hash-sorted band postings + one
+    # shared gather of the stored shingle sets (the reference's index-once
+    # model); each sweep point only pays the seek-count + in-merge rescore
+    from elastiknn_ray.stages.sparse_knn import build_jaccard_band_index
 
     t0 = time.perf_counter()
-    bands = sort_band_blocks(
-        sigs.map_batches(
-            minhash_bands_fn, fn_kwargs={"lsh": lsh_cfg}, batch_format="pyarrow",
-            batch_size=4096,
-        )
-    ).materialize()
+    bands = build_jaccard_band_index(sigs, lsh_cfg, num_blocks=num_cpus)
     fit_s = time.perf_counter() - t0
     points = []
     reps = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))

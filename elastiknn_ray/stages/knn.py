@@ -769,42 +769,49 @@ def _knn_lsh_indexed(
             }
         )
 
-    # The partial set is bounded (blocks x Q x candidates rows), so the
-    # usual case skips the sort-based shuffle entirely: n_parts plain tasks
-    # each map ALL partial blocks zero-copy from the object store and
-    # process their own query slice (query_id % n_parts) — an all-reads
-    # broadcast merge.  Above the size gate (huge block counts at cluster
-    # scale) fall back to the groupby shuffle.
+    return broadcast_or_shuffle_merge(partials, n_parts, merge_rescore_topk)
+
+
+@ray.remote(num_cpus=1)
+def _merge_part_task(part_ix: int, n_parts: int, refs, kernel):
+    tabs = ray.get(list(refs))
+    sel = []
+    for tb in tabs:
+        if tb.num_rows == 0:
+            continue
+        qp = tb.column("query_id").to_numpy(zero_copy_only=False)
+        mask = (qp % np.int64(n_parts)) == part_ix
+        if mask.any():
+            sel.append(tb.filter(pa.array(mask)))
+    if not sel:
+        return kernel(pa.table({}))
+    return kernel(pa.concat_tables(sel))
+
+
+def broadcast_or_shuffle_merge(partials, n_parts: int, kernel):
+    """Per-query merge shared by the indexed read paths.  The partial set is
+    bounded (blocks x Q x candidates rows), so the usual case skips the
+    sort-based shuffle entirely: n_parts plain tasks each map ALL partial
+    blocks zero-copy from the object store and run ``kernel`` on their own
+    query slice (query_id % n_parts) — an all-reads broadcast merge.  Above
+    the size gate (huge block counts at cluster scale) fall back to the
+    groupby shuffle."""
     parts_ds = partials.materialize()
     if parts_ds.size_bytes() <= 512 * 1024 * 1024:
-        part_refs = parts_ds.to_arrow_refs()
-
-        @ray.remote(num_cpus=1)
-        def _merge_part(part_ix: int, refs):
-            tabs = ray.get(list(refs))
-            sel = []
-            for tb in tabs:
-                if tb.num_rows == 0:
-                    continue
-                qp = tb.column("query_id").to_numpy(zero_copy_only=False)
-                mask = (qp % np.int64(n_parts)) == part_ix
-                if mask.any():
-                    sel.append(tb.filter(pa.array(mask)))
-            if not sel:
-                return merge_rescore_topk(pa.table({}))
-            return merge_rescore_topk(pa.concat_tables(sel))
-
         import ray.data as rd
 
+        part_refs = parts_ds.to_arrow_refs()
         return rd.from_arrow_refs(
-            [_merge_part.remote(i, part_refs) for i in range(n_parts)]
+            [
+                _merge_part_task.remote(i, n_parts, part_refs, kernel)
+                for i in range(n_parts)
+            ]
         )
-
     return (
         _coarse_query_key(parts_ds, n_parts)
         .groupby("part")
         .map_groups(
-            lambda t: merge_rescore_topk(t.drop_columns(["part"])),
+            lambda t: kernel(t.drop_columns(["part"])),
             batch_format="pyarrow",
         )
     )

@@ -163,6 +163,165 @@ def knn_exact_sparse(
     return topk_per_query(partials, k)
 
 
+def _ragged_take(
+    g_off: np.ndarray, g_val: np.ndarray, rix: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Gather rows ``rix`` out of a ragged (offsets, values) structure into a
+    new compact ragged structure (offsets (len(rix)+1,), values)."""
+    lens = g_off[rix + 1] - g_off[rix]
+    out_off = np.zeros(len(rix) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    total = int(out_off[-1])
+    if total == 0:
+        return out_off, np.empty(0, g_val.dtype)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    return out_off, g_val[np.repeat(g_off[rix], lens) + within]
+
+
+class SparseBandIndex:
+    """Materialized MinHash band postings (hash-sorted blocks) + the corpus
+    shingle sets gathered ONCE into an id-sorted ragged structure in the
+    object store — the sparse analogue of :class:`~elastiknn_ray.stages.knn.
+    BandIndex` (HashingQuery.index + StoredVecReader, build once / query
+    many)."""
+
+    def __init__(self, bands, lsh: JaccardLshConfig, sig_ref):
+        self.bands = bands
+        self.lsh = lsh
+        self.sig_ref = sig_ref  # ObjectRef -> (ids_sorted, offsets, values)
+
+
+@ray.remote(num_cpus=1)
+def _gather_signatures_task(sig_refs):
+    """One cluster-wide gather of (doc_id, shingles) blocks into an id-sorted
+    ragged (ids, offsets, values) triple, mapped zero-copy by every re-score
+    task."""
+    tables = ray.get(list(sig_refs))
+    ids_parts, len_parts, val_parts = [], [], []
+    for t in tables:
+        if t.num_rows == 0:
+            continue
+        ids_parts.append(t.column("doc_id").to_numpy(zero_copy_only=False))
+        off, vals = decode_u64_lists(t.column("shingles"))
+        len_parts.append(np.diff(off))
+        val_parts.append(vals)
+    if not ids_parts:
+        return (
+            np.empty(0, np.int64),
+            np.zeros(1, np.int64),
+            np.empty(0, np.uint64),
+        )
+    ids = np.concatenate(ids_parts)
+    lens = np.concatenate(len_parts)
+    vals = np.concatenate(val_parts)
+    g_off = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=g_off[1:])
+    order = np.argsort(ids, kind="stable")
+    out_off, out_val = _ragged_take(g_off, vals, order)
+    return ids[order], out_off, out_val
+
+
+def build_jaccard_band_index(
+    signatures, lsh: JaccardLshConfig, *, num_blocks: int | None = None
+) -> SparseBandIndex:
+    """signatures(doc_id, shingles, ...) → SparseBandIndex: hash-sorted band
+    postings blocks + one shared gather of the stored shingle sets."""
+    from elastiknn_ray.stages.hashing import minhash_bands_fn
+    from elastiknn_ray.stages.knn import sort_band_blocks
+
+    sigs = signatures.select_columns(["doc_id", "shingles"])
+    if num_blocks:
+        sigs = sigs.repartition(num_blocks)
+    sigs = sigs.materialize()
+    bands = sort_band_blocks(
+        sigs.map_batches(
+            minhash_bands_fn, fn_kwargs={"lsh": lsh}, batch_format="pyarrow",
+            batch_size=4096,
+        )
+    ).materialize()
+    return SparseBandIndex(
+        bands=bands,
+        lsh=lsh,
+        sig_ref=_gather_signatures_task.remote(sigs.to_arrow_refs()),
+    )
+
+
+def _knn_jaccard_indexed(
+    index: SparseBandIndex, query_sets: dict, qindex, k: int, candidates: int,
+    n_parts: int,
+):
+    """Indexed Jaccard read path: seek-counted partials → ONE broadcast merge
+    whose kernel cuts to ``candidates`` per query, exact-Jaccard re-scores
+    against the shared gathered shingle sets and emits the top-k — no
+    per-wave corpus rescan, no per-wave actor pool."""
+    from elastiknn_ray.models.exact import jaccard_similarity
+    from elastiknn_ray.stages.knn import (
+        _within_runs,
+        broadcast_or_shuffle_merge,
+        count_cut_partials_sorted,
+    )
+
+    sig_ref = index.sig_ref
+    q_ref = ray.put(
+        {
+            "ids": np.asarray(query_sets["ids"], dtype=np.int64),
+            "offsets": np.asarray(query_sets["offsets"], dtype=np.int64),
+            "values": np.asarray(query_sets["values"], dtype=np.uint64),
+        }
+    )
+
+    def merge_rescore_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        qi = t.column("query_id").to_numpy(zero_copy_only=False)
+        ni = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        nb = t.column("n_bands").to_numpy(zero_copy_only=False)
+        # merge partials (sum split pairs) + global per-query cut
+        o = np.lexsort((ni, qi))
+        qs, ns, nbs = qi[o], ni[o], nb[o]
+        newg = np.r_[True, (qs[1:] != qs[:-1]) | (ns[1:] != ns[:-1])]
+        total = np.add.reduceat(nbs, np.flatnonzero(newg))
+        qi, ni = qs[newg], ns[newg]
+        order = np.lexsort((ni, -total, qi))
+        keep = order[_within_runs(qi[order]) < candidates]
+        qi, ni = qi[keep], ni[keep]
+        # exact Jaccard against the shared gathered sets (zero-copy)
+        ids_s, s_off, s_val = ray.get(sig_ref)
+        qd = ray.get(q_ref)
+        q_sorted_ix = np.argsort(qd["ids"], kind="stable")
+        qix = q_sorted_ix[np.searchsorted(qd["ids"][q_sorted_ix], qi)]
+        vix = np.searchsorted(ids_s, ni)
+        ao, av = _ragged_take(qd["offsets"], qd["values"], qix)
+        bo, bv = _ragged_take(s_off, s_val, vix)
+        score = jaccard_similarity(ao, av, bo, bv)
+        m = ni != qi  # self-exclusion (parity with topk_per_query)
+        qi, ni, score = qi[m], ni[m], score[m]
+        order = np.lexsort((ni, -score, qi))
+        within = _within_runs(qi[order])
+        keep = order[within < k]
+        return pa.table(
+            {
+                "query_id": pa.array(qi[keep], pa.int64()),
+                "rank": pa.array(within[within < k] + 1, pa.int64()),
+                "neighbor_id": pa.array(ni[keep], pa.int64()),
+                "score": pa.array(score[keep], pa.float64()),
+            }
+        )
+
+    partials = count_cut_partials_sorted(index.bands, qindex, candidates)
+    return broadcast_or_shuffle_merge(partials, n_parts, merge_rescore_topk)
+
+
 def knn_lsh_jaccard(
     signatures,
     query_sets: dict,
@@ -189,12 +348,20 @@ def knn_lsh_jaccard(
         merge_cut_candidates,
     )
 
-    lsh = lsh or JaccardLshConfig(L=32, k=3, seed=0)
+    if isinstance(corpus_bands, SparseBandIndex):
+        lsh = corpus_bands.lsh  # the index owns the mapping (Q7 dispatch)
+    else:
+        lsh = lsh or JaccardLshConfig(L=32, k=3, seed=0)
     params = derive_minhash(lsh)
     qh = band_hashes(
         query_sets["offsets"], query_sets["values"], params, _Workspace()
     )  # (Q, L)
     qindex = QueryHashIndex(query_sets["ids"], qh)
+
+    if isinstance(corpus_bands, SparseBandIndex):
+        return _knn_jaccard_indexed(
+            corpus_bands, query_sets, qindex, k, candidates, num_partitions
+        )
 
     if corpus_bands is None:
         # fit-once/query-many: pass a materialized band table (the

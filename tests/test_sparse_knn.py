@@ -145,3 +145,28 @@ def test_knn_lsh_jaccard_sorted_corpus_bands_match(ray_session):
         return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(canon(a), canon(b))
+
+
+def test_knn_lsh_jaccard_sparse_band_index_match(ray_session):
+    """SparseBandIndex (postings + one-time shingle gather, in-merge exact
+    rescore) returns exactly the streaming verify-stage result."""
+    import pandas as pd
+
+    from elastiknn_ray.config import JaccardLshConfig
+    from elastiknn_ray.stages.sparse_knn import (
+        build_jaccard_band_index,
+        knn_lsh_jaccard,
+    )
+
+    sigs, qs, qids = _sigs_and_queries()
+    cfg = JaccardLshConfig(L=64, k=1, seed=0)
+    index = build_jaccard_band_index(sigs, cfg, num_blocks=4)
+    a = knn_lsh_jaccard(sigs, qs, k=5, lsh=cfg, candidates=50).to_pandas()
+    b = knn_lsh_jaccard(
+        sigs, qs, k=5, candidates=50, corpus_bands=index
+    ).to_pandas()
+
+    def canon(df):
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(a), canon(b))
