@@ -585,10 +585,10 @@ def q_lang_id(sf_dir: str):
 
 def q_doc_fingerprints(sf_dir: str):
     """Min-rolling-hash document fingerprint (rows-only; deterministic)."""
-    from elastiknn_ray.text.analysis import doc_fingerprints
+    from elastiknn_ray.text.analysis import doc_fingerprints_arrow
 
     def f(batch: pa.Table) -> pa.Table:
-        fp = doc_fingerprints(batch.column("text").to_pylist())
+        fp = doc_fingerprints_arrow(batch.column("text"))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

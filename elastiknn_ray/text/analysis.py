@@ -10,6 +10,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from elastiknn_ray.text.winnow import _CHUNK as _MIN_CHUNK
 from elastiknn_ray.text.winnow import rolling_hashes
 
 #: Small function-word profiles (public knowledge).  Deliberately tiny: the
@@ -175,12 +176,75 @@ def doc_fingerprints(texts: list[str], w: int = 32) -> np.ndarray:
     """64-bit content fingerprint per text: the minimum rolling-hash over all
     w-byte windows (robust to where a doc starts inside a larger stream);
     shorter texts hash whole-content.  uint64 (N,)."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-        if len(b) == 0:
-            out[i] = 0
-            continue
-        h = rolling_hashes(b, min(w, len(b)))
-        out[i] = h.min() if len(h) else 0
+    return doc_fingerprints_arrow(
+        pa.array(("" if t is None else t for t in texts), pa.string()), w
+    )
+
+
+def doc_fingerprints_arrow(col, w: int = 32) -> np.ndarray:
+    """`doc_fingerprints` straight off an Arrow string column's utf-8 data
+    buffer — ONE rolling-hash pass over the whole batch instead of a Python
+    loop with per-doc array allocations.  The Rabin-Karp window hash is
+    position-independent (hash(i) = sum_j s[i+j]*B^(w-1-j) mod 2^64), so
+    hashes computed over the shared buffer are bit-identical to per-doc
+    hashes; windows that would cross a doc boundary are simply never
+    gathered.  Nulls fingerprint as 0 (same as the empty string)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type):
+        off_dt = np.int64
+    else:
+        off_dt = np.int32
+    n = len(col)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dt, count=n + 1, offset=col.offset * np.dtype(off_dt).itemsize).astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    if not col.null_count:
+        lens = offs[1:] - offs[:-1]
+    else:
+        valid = np.asarray(col.is_valid())
+        lens = np.where(valid, offs[1:] - offs[:-1], 0)
+
+    big = np.flatnonzero(lens >= w)
+    if big.size:
+        lo, hi = int(offs[big[0]]), int(offs[big[-1] + 1])
+        nwin = hi - lo - w + 1
+        # Interleaved segment boundaries over global window positions:
+        # [valid_start_0, valid_end_0, valid_start_1, ...] — even segments
+        # are each doc's window range, odd segments the boundary-crossing
+        # windows between docs (always non-empty: >= w-1 positions).  The
+        # hashes are consumed CHUNK-AT-A-TIME with per-chunk reduceat mins
+        # folded into out — no O(total-bytes) allocation ever materializes
+        # (fresh large arrays cost more in page faults than the hashing
+        # itself on this class of host).
+        bounds = np.empty(2 * big.size - 1, dtype=np.int64)
+        bounds[0::2] = offs[big] - lo
+        bounds[1::2] = (offs[big + 1] - lo - w + 1)[:-1]
+        mins = np.full(big.size, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+        step = _MIN_CHUNK - w + 1
+        for start in range(0, nwin, step):
+            stop = min(start + step, nwin)
+            h = rolling_hashes(data[lo + start : lo + stop + w - 1], w)
+            i = int(np.searchsorted(bounds, start, "right")) - 1
+            j = int(np.searchsorted(bounds, stop, "left"))
+            lb = bounds[i:j] - start
+            lb[0] = 0  # segment i may begin before this chunk
+            seg_min = np.minimum.reduceat(h, lb)
+            seg_ids = np.arange(i, j)
+            docs = seg_ids[seg_ids % 2 == 0] >> 1
+            np.minimum.at(mins, docs, seg_min[seg_ids % 2 == 0])
+        out[big] = mins
+
+    # Short docs hash whole-content: group by exact length so each group
+    # shares one fixed-window pass (every doc contributes exactly one window).
+    short = np.flatnonzero((lens > 0) & (lens < w))
+    if short.size:
+        for length in np.unique(lens[short]):
+            sel = short[lens[short] == length]
+            gidx = (offs[sel][:, None] + np.arange(length)[None, :]).ravel()
+            h = rolling_hashes(data[gidx], int(length))
+            out[sel] = h[:: int(length)][: sel.size]
     return out

@@ -39,27 +39,62 @@ def _modinv_pow2(b: int) -> int:
 _B_INV = _U64(_modinv_pow2(int(_B)))
 
 
-def rolling_hashes(s: np.ndarray, w: int) -> np.ndarray:
-    """uint64 Rabin-Karp hash of every w-byte window of uint8 array s
-    (len(s) - w + 1 hashes), diffused with splitmix64."""
+#: Chunk length for the blocked rolling-hash evaluation.  The window hash is
+#: position-independent (hash(i) = sum_t s[i+t] * B^(w-1-t) mod 2^64), so any
+#: w-overlapped chunk yields bit-identical hashes to a whole-buffer pass —
+#: chunking keeps the ~5 uint64 temporaries L2-resident and lets the power
+#: tables be computed once per process instead of once per call.
+_CHUNK = 1 << 17
+_TABLES: tuple[np.ndarray, np.ndarray] | None = None  # (pows, inv), len _CHUNK+1
+
+
+def _power_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """pows[j] = B^j, inv[j] = B^-j (mod 2^64) for j <= n; cached for the
+    chunk size, computed ad hoc for rare larger-than-chunk direct calls."""
+    global _TABLES
+    if n <= _CHUNK:
+        if _TABLES is None:
+            _TABLES = (_powser(_B, _CHUNK), _powser(_B_INV, _CHUNK))
+        return _TABLES
+    return _powser(_B, n), _powser(_B_INV, n)
+
+
+def _powser(b: np.uint64, n: int) -> np.ndarray:
+    p = np.empty(n + 1, dtype=np.uint64)
+    p[0] = 1
+    np.multiply.accumulate(np.full(n + 1, b, dtype=np.uint64), out=p)
+    p = np.roll(p, 1)
+    p[0] = 1
+    return p
+
+
+def _rolling_hashes_direct(s: np.ndarray, w: int) -> np.ndarray:
     n = len(s)
-    if n < w:
-        return np.empty(0, dtype=np.uint64)
     nwin = n - w + 1
-    pows = np.empty(n, dtype=np.uint64)
-    pows[0] = 1
-    np.multiply.accumulate(np.full(n, _B, dtype=np.uint64), out=pows)
-    pows = np.roll(pows, 1)
-    pows[0] = 1  # pows[j] = B^j mod 2^64
-    inv = np.empty(n + 1, dtype=np.uint64)
-    inv[0] = 1
-    np.multiply.accumulate(np.full(n + 1, _B_INV, dtype=np.uint64), out=inv)
-    inv = np.roll(inv, 1)
-    inv[0] = 1  # inv[j] = B^-j
+    pows, inv = _power_tables(n)
     c = np.zeros(n + 1, dtype=np.uint64)
     np.cumsum(s.astype(np.uint64) * inv[:n], out=c[1:])
     h = (c[w : n + 1] - c[:nwin]) * pows[w - 1 : n]
     return _splitmix64(h)
+
+
+def rolling_hashes(s: np.ndarray, w: int) -> np.ndarray:
+    """uint64 Rabin-Karp hash of every w-byte window of uint8 array s
+    (len(s) - w + 1 hashes), diffused with splitmix64.  Large inputs are
+    evaluated in w-overlapped chunks (bit-identical: the hash is
+    position-independent)."""
+    n = len(s)
+    if n < w:
+        return np.empty(0, dtype=np.uint64)
+    if n <= _CHUNK or w > _CHUNK // 2:
+        return _rolling_hashes_direct(s, w)
+    nwin = n - w + 1
+    out = np.empty(nwin, dtype=np.uint64)
+    step = _CHUNK - w + 1
+    for start in range(0, nwin, step):
+        stop = min(start + step, nwin)
+        out[start:stop] = _rolling_hashes_direct(s[start : stop + w - 1], w)
+    return out
 
 
 def winnow_select(h: np.ndarray, g: int) -> np.ndarray:

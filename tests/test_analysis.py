@@ -66,3 +66,49 @@ def test_fingerprint_deterministic_and_shift_robust():
     # different content -> different fingerprint
     other = doc_fingerprints(["entirely different words live here " * 10])
     assert other[0] != fp[0]
+
+
+def test_fingerprint_arrow_matches_per_row_loop():
+    """doc_fingerprints_arrow (one pass over the Arrow buffer) is bit-exact
+    vs the definitional per-doc rolling-hash loop, including nulls, empties,
+    short docs (< window), multi-byte utf-8 and sliced/chunked arrays."""
+    import pyarrow as pa
+
+    from elastiknn_ray.text.analysis import doc_fingerprints_arrow
+    from elastiknn_ray.text.winnow import rolling_hashes
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "δelta", "ε", "longword" * 5, "x"]
+    texts: list = []
+    for i in range(200):
+        k = int(rng.integers(0, 30))
+        texts.append(" ".join(rng.choice(words, size=k)) if k else "")
+    texts[3] = None
+    texts[10] = "short"
+    texts[11] = "1234567890123456789012345678901"  # 31 bytes: just under w
+    texts[12] = "12345678901234567890123456789012"  # exactly w
+
+    def per_row(ts, w=32):
+        out = np.zeros(len(ts), dtype=np.uint64)
+        for i, t in enumerate(ts):
+            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            if len(b):
+                h = rolling_hashes(b, min(w, len(b)))
+                out[i] = h.min() if len(h) else 0
+        return out
+
+    expect = per_row(texts)
+    arr = pa.array(texts, pa.string())
+    np.testing.assert_array_equal(doc_fingerprints_arrow(arr), expect)
+    # sliced array (non-zero offset) and large_string
+    np.testing.assert_array_equal(
+        doc_fingerprints_arrow(arr.slice(5, 120)), expect[5:125]
+    )
+    np.testing.assert_array_equal(
+        doc_fingerprints_arrow(arr.cast(pa.large_string())), expect
+    )
+    # chunked
+    ch = pa.chunked_array([arr.slice(0, 50), arr.slice(50)])
+    np.testing.assert_array_equal(doc_fingerprints_arrow(ch), expect)
+    # list[str] wrapper delegates
+    np.testing.assert_array_equal(doc_fingerprints(texts), expect)
