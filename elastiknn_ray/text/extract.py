@@ -15,6 +15,16 @@ by the pipeline and every test oracle, satisfying the per-row invariant
 Stateless and regex-based: compiled patterns live at module scope, imported
 once per worker process (equivalent to actor-``__init__`` amortization for a
 task-based stage).
+
+The per-row Python cost here is INHERENT to the byte-identity contract, not
+an oversight: step 4 is stdlib ``html.unescape`` (the full HTML5 named +
+numeric entity table — no Arrow kernel computes code points from ``&#x..;``)
+and step 5 uses Python ``re``'s Unicode ``\\s`` (collapses U+00A0/U+2028 etc.,
+which re2-based ``pyarrow.compute.replace_substring_regex`` treats as
+non-whitespace), so a vectorized re2 rewrite would silently break byte
+identity on entity-bearing pages.  At 100 TB this stage is embarrassingly
+parallel row-wise and runs exactly once per document (the flagship carries
+``text`` through every later stage); tasks scale it out linearly.
 """
 
 from __future__ import annotations

@@ -352,3 +352,18 @@ def test_doc_ids_of_url_array_matches_scalar():
     assert (got == want).all()
     sl = pa.table({"u": col}).slice(100, 300).column("u")
     assert (doc_ids_of_url_array(sl).to_numpy() == want[100:400]).all()
+
+
+def test_rolling_hashes_chunked_equals_direct():
+    """The chunk-blocked evaluation is bit-identical to a single whole-buffer
+    pass for lengths straddling the chunk size (the hash is
+    position-independent, so chunk-local power indices cancel)."""
+    from elastiknn_ray.text import winnow as W
+
+    rng = np.random.default_rng(11)
+    for n in (W._CHUNK - 1, W._CHUNK, W._CHUNK + 1, 2 * W._CHUNK + 17):
+        s = rng.integers(0, 256, n, dtype=np.uint8)
+        for w in (2, 32, 64):
+            np.testing.assert_array_equal(
+                W.rolling_hashes(s, w), W._rolling_hashes_direct(s, w)
+            )
