@@ -23,7 +23,7 @@ import pyarrow as pa
 from elastiknn_ray.config import CosineLshConfig
 from elastiknn_ray.models.exact import cosine_similarity_pairs
 from elastiknn_ray.models.params import derive_hyperplanes
-from elastiknn_ray.stages.knn import _to_matrix
+from elastiknn_ray.stages.knn import _to_matrix, drop_null_vectors
 from elastiknn_ray.stages.simhash import _checked_lookup
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
@@ -57,6 +57,7 @@ class CosineLshBandStage:
         self.k = lsh.k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = drop_null_vectors(batch)
         m = _to_matrix(batch.column("embedding"))
         bh = hyperplane_band_hashes(m, self.planes, self.L, self.k)
         ids = batch.column("vec_id").to_numpy()
@@ -139,6 +140,7 @@ class _BroadcastCosineVerify:
         tables = ray.get(list(shard_refs))
         ids_parts, mats = [], []
         for t in tables:
+            t = drop_null_vectors(t)
             if t.num_rows == 0:
                 continue
             ids_parts.append(t.column("vec_id").to_numpy(zero_copy_only=False))
@@ -252,9 +254,9 @@ def verify_cosine_pairs(pairs, embeddings, tau_cos: float, *, num_partitions: in
             )
 
     emb = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
-        lambda t: pa.table(
-            {"vec_id": t.column("vec_id"), "emb": encode_f32(_to_matrix(t.column("embedding")))}
-        ),
+        lambda t: (lambda v: pa.table(
+            {"vec_id": v.column("vec_id"), "emb": encode_f32(_to_matrix(v.column("embedding")))}
+        ))(drop_null_vectors(t)),
         batch_format="pyarrow",
     )
     a = pairs.join(
@@ -299,6 +301,7 @@ class BroadcastCosinePairs:
         self.tau = float(tau_cos)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = drop_null_vectors(batch)
         ids = batch.column("vec_id").to_numpy()
         m = _to_matrix(batch.column("embedding"))
         norms = np.linalg.norm(m, axis=1, keepdims=True)
@@ -337,6 +340,7 @@ def cosine_dup_pairs_exact(embeddings, tau_cos: float, *, concurrency=(1, 8)):
         )
     ids_parts, mat_parts = [], []
     for b in embeddings.iter_batches(batch_format="pyarrow"):
+        b = drop_null_vectors(b)
         ids_parts.append(b.column("vec_id").to_numpy(zero_copy_only=False))
         mat_parts.append(_to_matrix(b.column("embedding")))
     corpus = {

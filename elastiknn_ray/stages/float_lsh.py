@@ -14,7 +14,7 @@ import pyarrow as pa
 
 from elastiknn_ray.config import L2LshConfig, PermutationLshConfig
 from elastiknn_ray.models.params import derive_l2
-from elastiknn_ray.stages.knn import _to_matrix
+from elastiknn_ray.stages.knn import _to_matrix, drop_null_vectors
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
@@ -47,6 +47,7 @@ class L2LshBandStage:
         self.k = lsh.k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = drop_null_vectors(batch)
         m = _to_matrix(batch.column("embedding"))
         bh = l2_band_hashes(m, self.a, self.b, self.w, self.L, self.k)
         ids = batch.column("vec_id").to_numpy()
@@ -275,6 +276,7 @@ class PermutationLshStage:
         self.repeating = cfg.repeating
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = drop_null_vectors(batch)
         m = _to_matrix(batch.column("embedding"))
         ids = batch.column("vec_id").to_numpy()
         row_ix, enc, freq = permutation_hashes(m, self.k, self.repeating)

@@ -22,7 +22,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from elastiknn_ray.stages.knn import _to_matrix, _within_runs, topk_per_query
+from elastiknn_ray.stages.knn import (
+    _to_matrix,
+    _within_runs,
+    drop_null_vectors,
+    topk_per_query,
+)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -57,6 +62,7 @@ def assign_cells(embeddings, centroids: np.ndarray):
     cents = np.ascontiguousarray(centroids)
 
     def f(batch: pa.Table) -> pa.Table:
+        batch = drop_null_vectors(batch)
         m = _normalize(_to_matrix(batch.column("embedding")))
         cell = (m @ cents.T).argmax(axis=1).astype(np.int32)
         return batch.append_column("cell", pa.array(cell, pa.int32()))
@@ -84,8 +90,12 @@ def knn_ivf_cosine(
     qm = _normalize(np.asarray(query_ids_matrix["matrix"], dtype=np.float64))
 
     # train: seeded driver-side sample (small side; broadcast from closure)
-    sample_df = embeddings.select_columns(["embedding"]).limit(train_sample).to_pandas()
-    sample = np.array(sample_df["embedding"].tolist(), dtype=np.float64)
+    sample_t = drop_null_vectors(  # missing-vector docs don't train
+        embeddings.select_columns(["embedding"]).take_batch(
+            train_sample, batch_format="pyarrow"
+        )
+    )
+    sample = _to_matrix(sample_t.column("embedding"))
     cents = train_centroids(sample, n_cells, seed=seed)
 
     # per query: the nprobe nearest cells, as a (Q, n_cells) boolean lookup
@@ -95,6 +105,7 @@ def knn_ivf_cosine(
     probed_lut[np.arange(len(query_ids))[:, None], probe] = True
 
     def scan(batch: pa.Table) -> pa.Table:
+        batch = drop_null_vectors(batch)
         m = _normalize(_to_matrix(batch.column("embedding")))
         ids = batch.column("vec_id").to_numpy()
         cell = (m @ cents.T).argmax(axis=1)
@@ -143,8 +154,12 @@ def write_ivf_index(
     import json
     import os
 
-    sample_df = embeddings.select_columns(["embedding"]).limit(train_sample).to_pandas()
-    sample = np.array(sample_df["embedding"].tolist(), dtype=np.float64)
+    sample_t = drop_null_vectors(  # missing-vector docs don't train
+        embeddings.select_columns(["embedding"]).take_batch(
+            train_sample, batch_format="pyarrow"
+        )
+    )
+    sample = _to_matrix(sample_t.column("embedding"))
     cents = train_centroids(sample, n_cells, seed=seed)
     assign_cells(embeddings, cents).write_parquet(
         os.path.join(path, "cells"), partition_cols=["cell"]

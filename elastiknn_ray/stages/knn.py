@@ -20,10 +20,42 @@ import pyarrow as pa
 import ray
 
 
+#: empty (query_id, neighbor_id, score) block — returned when a batch has no
+#: scoreable rows (e.g. every row's vector was null).
+_EMPTY_SCORED = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64()),
+    }
+)
+
+
+def drop_null_vectors(batch: pa.Table, col: str = "embedding") -> pa.Table:
+    """Rows whose vector is null are invisible to vector search — the
+    reference's semantics for docs indexed without the vector field
+    (DocsWithMissingVectorsSuite.scala:20-63, issues #180/#181: such docs
+    are skipped by exact and LSH queries, never errors).  No-op (one
+    null_count read) on fully-valid batches."""
+    c = batch.column(col)
+    if c.null_count:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_valid(c))
+    return batch
+
+
 def _to_matrix(col) -> np.ndarray:
     """list<float> column → (N, dims) float64 matrix."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        # A null list element contributes no child values, so reshape would
+        # silently misalign every later row — fail loudly instead; corpus
+        # ingest sites filter via drop_null_vectors.
+        raise ValueError(
+            "null vectors reached _to_matrix; filter with drop_null_vectors"
+        )
     flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(col)
     return flat.reshape(n, -1) if n else flat.reshape(0, 0)
@@ -43,6 +75,9 @@ class BruteForceTopK:
         self.exclude_self = exclude_self
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = drop_null_vectors(batch)
+        if batch.num_rows == 0:
+            return _EMPTY_SCORED
         ids = batch.column("vec_id").to_numpy()
         m = _to_matrix(batch.column("embedding"))
         norms = np.linalg.norm(m, axis=1, keepdims=True)
@@ -97,6 +132,9 @@ def knn_exact_metric(embeddings, query_ids_matrix: dict, k: int, metric: str):
     qm = np.asarray(query_ids_matrix["matrix"], dtype=np.float64)
 
     def score_batch(batch: pa.Table) -> pa.Table:
+        batch = drop_null_vectors(batch)
+        if batch.num_rows == 0:
+            return _EMPTY_SCORED
         ids = batch.column("vec_id").to_numpy()
         m = _to_matrix(batch.column("embedding"))
         if metric == "l2":
@@ -645,6 +683,7 @@ def _sort_gathered(tables, metric: str) -> tuple[np.ndarray, np.ndarray]:
     L2-normalized for cosine)."""
     ids_parts, mats = [], []
     for t in tables:
+        t = drop_null_vectors(t)
         if t.num_rows == 0:
             continue
         ids_parts.append(t.column("vec_id").to_numpy(zero_copy_only=False))
@@ -986,6 +1025,7 @@ def rescore_cosine_topk(
             self.metric = qd["metric"]
             ids_parts, mats = [], []
             for t in tables:
+                t = drop_null_vectors(t)
                 if t.num_rows == 0:
                     continue
                 ids_parts.append(t.column("vec_id").to_numpy(zero_copy_only=False))

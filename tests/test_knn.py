@@ -538,3 +538,60 @@ def test_sorted_raw_bands_auto_dispatch(ray_session):
         return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(canon(a), canon(b))
+
+
+def test_docs_with_missing_vectors_are_skipped(ray_session):
+    """Mirror of the reference's DocsWithMissingVectorsSuite.scala:20-63
+    (issues #180/#181): index a corpus where only half the docs carry a
+    vector; exact AND approximate cosine search must return k full results
+    drawn exclusively from the vector-bearing half, with the self-match
+    scoring exactly 2.0 (1 + cos)."""
+    import ray.data as rd
+
+    from elastiknn_ray.config import CosineLshConfig
+    from elastiknn_ray.stages.ivf import knn_ivf_cosine
+    from elastiknn_ray.stages.knn import (
+        build_cosine_band_index,
+        knn_exact,
+        knn_lsh_cosine,
+    )
+
+    n, dims, k = 2000, 32, 10
+    rng = np.random.default_rng(0)
+    m = rng.normal(size=(n, dims)).astype(np.float32)
+    vecs = [list(map(float, m[i])) if i % 2 == 0 else None for i in range(n)]
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+    ).materialize()
+    # query vectors == stored docs 0/2/40, but under fresh query ids so the
+    # read paths' exclude-self never removes the identical stored doc — its
+    # hit IS the suite's score-2.0 assertion.
+    src_ids = np.array([0, 2, 40], dtype=np.int64)
+    qids = np.array([-1, -2, -3], dtype=np.int64)
+    q = {"ids": qids, "matrix": m[src_ids].astype(np.float64)}
+
+    def check(df):
+        for qi, si in zip(qids, src_ids):
+            hits = df[df["query_id"] == qi].sort_values(
+                ["score", "neighbor_id"], ascending=[False, True]
+            )
+            assert len(hits) == k, (qi, len(hits))
+            assert (hits["neighbor_id"] % 2 == 0).all()  # only vector-bearing docs
+            assert int(hits.iloc[0]["neighbor_id"]) == si  # identical doc is top
+            np.testing.assert_allclose(hits.iloc[0]["score"], 2.0, atol=1e-9)
+
+    check(knn_exact(emb, q, k=k).to_pandas())
+    lsh = CosineLshConfig(dims=dims, L=60, k=2, seed=0)
+    check(knn_lsh_cosine(emb, q, k=k, candidates=400, lsh=lsh).to_pandas())
+    index = build_cosine_band_index(emb, lsh, num_blocks=4)
+    check(
+        knn_lsh_cosine(
+            emb, q, k=k, candidates=400, lsh=lsh, corpus_bands=index
+        ).to_pandas()
+    )
+    check(knn_ivf_cosine(emb, q, k=k, n_cells=8, nprobe=8).to_pandas())
