@@ -50,14 +50,25 @@ def _consume(res) -> int:
 
 
 def _init_ray(num_cpus: int) -> None:
+    import os
+
     import ray
 
     if not ray.is_initialized():
+        kwargs = {}
+        # Large scale points (e.g. --decisions --docs 1000000) keep several
+        # materialized checkpoint stages alive at once; this host's raylet
+        # SIGSEGVs in its spill-worker path (PushSpillWorker) under spill
+        # pressure, so size the store to hold the working set instead.
+        obj_gb = os.environ.get("GRAFT_OBJ_STORE_GB")
+        if obj_gb:
+            kwargs["object_store_memory"] = int(float(obj_gb) * (1 << 30))
         ray.init(
             address="local",
             num_cpus=num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
+            **kwargs,
         )
     # keep stdout clean: the driver parses the single JSON line this script
     # prints, so nothing else may land on stdout

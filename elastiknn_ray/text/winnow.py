@@ -106,7 +106,10 @@ def winnow_select(h: np.ndarray, g: int) -> np.ndarray:
         return np.array([int(np.argmin(h))], dtype=np.int64)
     win = np.lib.stride_tricks.sliding_window_view(h, g)
     am = win.argmin(axis=1) + np.arange(len(h) - g + 1)
-    return np.unique(am).astype(np.int64)
+    # `am` is non-decreasing (a sliding window's leftmost argmin never moves
+    # left: candidates only leave on the left / join on the right), so
+    # dedup is a diff filter, not a sort.
+    return am[np.diff(am, prepend=-1) > 0].astype(np.int64)
 
 
 def winnow_fingerprints(

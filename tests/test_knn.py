@@ -595,3 +595,30 @@ def test_docs_with_missing_vectors_are_skipped(ray_session):
         ).to_pandas()
     )
     check(knn_ivf_cosine(emb, q, k=k, n_cells=8, nprobe=8).to_pandas())
+
+
+def test_shuffled_query_order_returns_identical_hits(ray_session):
+    """Mirror of ApproximateQueryTotalHitsSuite.scala:12-49 (issue #240):
+    the same approximate queries, submitted in different orders within the
+    wave, return identical hit sets/scores per query — candidate counting
+    and the kthGreatest cut must not couple queries to wave order."""
+    from elastiknn_ray.config import CosineLshConfig
+    from elastiknn_ray.stages.knn import knn_lsh_cosine
+
+    emb, m = _emb_ds(n=600, dims=32, seed=9)
+    lsh = CosineLshConfig(dims=32, L=50, k=2, seed=0)
+    qids = np.arange(30, dtype=np.int64)
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(len(qids))
+
+    def run(order):
+        q = {"ids": qids[order], "matrix": m[qids[order]].astype(np.float64)}
+        df = knn_lsh_cosine(emb, q, k=7, candidates=120, lsh=lsh).to_pandas()
+        return df.sort_values(["query_id", "score", "neighbor_id"],
+                              ascending=[True, False, True]).reset_index(drop=True)
+
+    a = run(np.arange(len(qids)))
+    b = run(perm)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
