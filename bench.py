@@ -778,6 +778,54 @@ def run_scaling(repeats: int = 2) -> dict:
     }
 
 
+def run_scaling_decisions(n_docs: int, repeats: int = 2) -> dict:
+    """North-rule scaling evidence for the END PRODUCT (the checkpointed
+    exact+near+substring decision pipeline), same fresh-subprocess two-level
+    protocol as ``run_scaling``.  Each run uses a COLD checkpoint root (the
+    subprocess wipes it), so both levels do identical full work; identical
+    keep/drop/reason counts across levels verify that."""
+    runs = {}
+    for cpus in (8, 32):
+        best = None
+        for _ in range(repeats):
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--decisions",
+                    "--cpus",
+                    str(cpus),
+                    "--docs",
+                    str(n_docs),
+                ],
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None or r["elapsed_sec"] < best["elapsed_sec"]:
+                best = r
+        runs[cpus] = best
+    if runs[8]["reasons"] != runs[32]["reasons"]:
+        raise AssertionError(
+            f"decision outputs differ across levels: {runs[8]['reasons']} "
+            f"vs {runs[32]['reasons']}"
+        )
+    t8, t32 = runs[8]["elapsed_sec"], runs[32]["elapsed_sec"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "decisions_scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_docs": n_docs,
+        "run_8cpus": runs[8],
+        "run_32cpus": runs[32],
+        "speedup": round(t8 / t32, 2),
+        "pass": eff >= 0.8,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -789,6 +837,7 @@ def main() -> None:
     ap.add_argument("--emb-dedup", action="store_true", help="embedding near-dup scale run")
     ap.add_argument("--substring", action="store_true", help="substring-dedup scale run")
     ap.add_argument("--decisions", action="store_true", help="checkpointed keep/drop decisions scale run")
+    ap.add_argument("--scaling-decisions", action="store_true", help="two-level scaling run of the decisions end product")
     ap.add_argument("--n", type=int, default=200_000, help="vector count for --emb-dedup")
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--docs", type=int, default=SCALING_DOCS)
@@ -811,6 +860,8 @@ def main() -> None:
         result = run_emb_dedup(args.cpus, args.n)
     elif args.substring:
         result = run_substring(args.cpus, args.docs, SCALING_SEED)
+    elif args.scaling_decisions:
+        result = run_scaling_decisions(args.docs)
     elif args.decisions:
         result = run_decisions(args.cpus, args.docs, SCALING_SEED)
     else:
