@@ -718,6 +718,53 @@ def _gathered_vectors(vec_refs, metric: str = "cosine") -> tuple[np.ndarray, np.
     return out
 
 
+#: per-worker-process scratch for the chunked candidate rescore, keyed by
+#: dims.  A merge task rescoring 10k+ candidates would otherwise allocate
+#: three fresh (rows, dims) float64 temporaries (~100 MB each at 784d) whose
+#: first-touch page faults cost more than the arithmetic; reusing one pair
+#: of chunk buffers across tasks in the same worker removes that entirely.
+_RESCORE_CHUNK = 2048
+_RESCORE_SCRATCH: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _rescore_gathered(
+    qm: np.ndarray, qix: np.ndarray, mat: np.ndarray, vix: np.ndarray,
+    metric: str,
+) -> np.ndarray:
+    """score[i] = exact similarity of (qm[qix[i]], mat[vix[i]]) under the
+    reference conventions (cosine: 1+cos with mat pre-normalized; l1/l2:
+    1/(1+dist)) — evaluated in fixed-size chunks through process-cached
+    scratch so no O(rows x dims) temporary is ever allocated.  Arithmetic
+    is identical to the whole-array expression (same ops, same order)."""
+    n, dims = len(qix), qm.shape[1]
+    buf = _RESCORE_SCRATCH.get(dims)
+    if buf is None:
+        buf = (
+            np.empty((_RESCORE_CHUNK, dims), np.float64),
+            np.empty((_RESCORE_CHUNK, dims), np.float64),
+        )
+        _RESCORE_SCRATCH[dims] = buf
+    bq, bv = buf
+    score = np.empty(n, np.float64)
+    for s in range(0, n, _RESCORE_CHUNK):
+        e = min(s + _RESCORE_CHUNK, n)
+        m = e - s
+        np.take(qm, qix[s:e], axis=0, out=bq[:m])
+        np.take(mat, vix[s:e], axis=0, out=bv[:m])
+        if metric == "cosine":
+            score[s:e] = 1.0 + np.einsum("ij,ij->i", bq[:m], bv[:m])
+        elif metric == "l1":
+            np.subtract(bq[:m], bv[:m], out=bq[:m])
+            np.abs(bq[:m], out=bq[:m])
+            score[s:e] = 1.0 / (1.0 + bq[:m].sum(axis=1))
+        else:
+            np.subtract(bq[:m], bv[:m], out=bq[:m])
+            score[s:e] = 1.0 / (
+                1.0 + np.sqrt(np.einsum("ij,ij->i", bq[:m], bq[:m]))
+            )
+    return score
+
+
 def _knn_lsh_indexed(
     index: BandIndex,
     query_ids: np.ndarray,
@@ -787,11 +834,7 @@ def _knn_lsh_indexed(
         q_sorted_ix = np.argsort(qd["ids"], kind="stable")
         qix = q_sorted_ix[np.searchsorted(qd["ids"][q_sorted_ix], qi)]
         vix = np.searchsorted(ids_s, ni)
-        if metric == "cosine":
-            score = 1.0 + np.einsum("ij,ij->i", qd["qm"][qix], mat[vix])
-        else:
-            d = qd["qm"][qix] - mat[vix]
-            score = 1.0 / (1.0 + np.sqrt(np.einsum("ij,ij->i", d, d)))
+        score = _rescore_gathered(qd["qm"], qix, mat, vix, metric)
         # self-exclusion + per-query top-k with (score desc, neighbor) ties
         m = ni != qi
         qi, ni, score = qi[m], ni[m], score[m]
