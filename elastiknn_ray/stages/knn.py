@@ -679,24 +679,30 @@ _VEC_CACHE: dict = {}
 
 
 def _sort_gathered(tables, metric: str) -> tuple[np.ndarray, np.ndarray]:
-    """(vec_id, embedding) tables → (sorted ids, id-sorted re-score matrix,
-    L2-normalized for cosine)."""
+    """(vec_id, embedding) tables → (sorted ids, id-sorted re-score matrix).
+
+    The matrix keeps the SOURCE dtype (float32 corpora stay float32 — half
+    the shared-object footprint and gather traffic; the rescore kernel
+    upcasts each chunk to float64, which is value-identical to upcasting
+    the whole matrix first).  Cosine normalization happens in the kernel
+    after the upcast — same per-row float64 arithmetic as normalizing the
+    full matrix, so scores are bit-identical to the previous layout."""
     ids_parts, mats = [], []
     for t in tables:
         t = drop_null_vectors(t)
         if t.num_rows == 0:
             continue
         ids_parts.append(t.column("vec_id").to_numpy(zero_copy_only=False))
-        mats.append(_to_matrix(t.column("embedding")))
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        mats.append(flat.reshape(len(col), -1))
     if not ids_parts:
         return (np.empty(0, np.int64), np.empty((0, 0)))
     ids = np.concatenate(ids_parts)
     m = np.vstack(mats)
     order = np.argsort(ids, kind="stable")
-    if metric == "cosine":
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        m = m / norms
     return (ids[order], m[order])
 
 
@@ -732,26 +738,41 @@ def _rescore_gathered(
     metric: str,
 ) -> np.ndarray:
     """score[i] = exact similarity of (qm[qix[i]], mat[vix[i]]) under the
-    reference conventions (cosine: 1+cos with mat pre-normalized; l1/l2:
-    1/(1+dist)) — evaluated in fixed-size chunks through process-cached
-    scratch so no O(rows x dims) temporary is ever allocated.  Arithmetic
-    is identical to the whole-array expression (same ops, same order)."""
+    reference conventions (cosine: 1+cos, ``mat`` rows normalized here
+    after the float64 upcast; l1/l2: 1/(1+dist)) — evaluated in fixed-size
+    chunks through process-cached scratch so no O(rows x dims) temporary is
+    ever allocated.  ``mat`` may be float32 (the stored corpus dtype):
+    upcasting a gathered chunk then normalizing is value-identical to
+    upcasting + normalizing the whole matrix up front."""
     n, dims = len(qix), qm.shape[1]
-    buf = _RESCORE_SCRATCH.get(dims)
+    key = (dims, mat.dtype.str)
+    buf = _RESCORE_SCRATCH.get(key)
     if buf is None:
         buf = (
             np.empty((_RESCORE_CHUNK, dims), np.float64),
             np.empty((_RESCORE_CHUNK, dims), np.float64),
+            np.empty((_RESCORE_CHUNK, dims), mat.dtype),
         )
-        _RESCORE_SCRATCH[dims] = buf
-    bq, bv = buf
+        _RESCORE_SCRATCH.clear()  # at most one (dims, dtype) shape per worker
+        _RESCORE_SCRATCH[key] = buf
+    bq, bv, braw = buf
+    direct = mat.dtype == np.float64
     score = np.empty(n, np.float64)
     for s in range(0, n, _RESCORE_CHUNK):
         e = min(s + _RESCORE_CHUNK, n)
         m = e - s
         np.take(qm, qix[s:e], axis=0, out=bq[:m])
-        np.take(mat, vix[s:e], axis=0, out=bv[:m])
+        if direct:
+            np.take(mat, vix[s:e], axis=0, out=bv[:m])
+        else:
+            np.take(mat, vix[s:e], axis=0, out=braw[:m])
+            bv[:m] = braw[:m]  # upcast copy
         if metric == "cosine":
+            # np.linalg.norm, matching the previous whole-matrix
+            # normalization bit-for-bit (same reduction routine per row)
+            norms = np.linalg.norm(bv[:m], axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            bv[:m] /= norms
             score[s:e] = 1.0 + np.einsum("ij,ij->i", bq[:m], bv[:m])
         elif metric == "l1":
             np.subtract(bq[:m], bv[:m], out=bq[:m])
