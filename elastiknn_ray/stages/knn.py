@@ -56,7 +56,10 @@ def _to_matrix(col) -> np.ndarray:
         raise ValueError(
             "null vectors reached _to_matrix; filter with drop_null_vectors"
         )
-    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    # .values ignores a slice offset (and any trailing values past the last
+    # list) — flatten() honors both and is zero-copy for offset-0 arrays
+    values = col.flatten() if col.offset else col.values
+    flat = values.to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(col)
     return flat.reshape(n, -1) if n else flat.reshape(0, 0)
 
@@ -696,7 +699,8 @@ def _sort_gathered(tables, metric: str) -> tuple[np.ndarray, np.ndarray]:
         col = t.column("embedding")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        flat = col.values.to_numpy(zero_copy_only=False)
+        values = col.flatten() if col.offset else col.values  # offset-safe
+        flat = values.to_numpy(zero_copy_only=False)
         mats.append(flat.reshape(len(col), -1))
     if not ids_parts:
         return (np.empty(0, np.int64), np.empty((0, 0)))

@@ -66,3 +66,24 @@ def test_bool_ndarray_and_dispatch():
     assert "shingles" in canonical_to_table(
         FakeCsr(np.array([0, 1]), np.array([2]), (1, 5))
     ).column_names
+
+
+def test_sliced_list_columns_convert_correctly():
+    """ListArray.values ignores a slice offset (pyarrow semantics); the
+    converters and _to_matrix must honor the logical window."""
+    import numpy as np
+    import pyarrow as pa
+
+    from elastiknn_ray.sources.convert import embeddings_to_ndarray
+    from elastiknn_ray.stages.knn import _to_matrix
+
+    m = np.arange(24, dtype=np.float32).reshape(6, 4)
+    emb = pa.array([list(map(float, r)) for r in m], pa.list_(pa.float32()))
+    ids = pa.array(np.arange(6, dtype=np.int64))
+    t = pa.table({"vec_id": ids, "embedding": emb}).slice(2, 3)
+    got_ids, got = embeddings_to_ndarray(t)
+    np.testing.assert_array_equal(got_ids, [2, 3, 4])
+    np.testing.assert_array_equal(got, m[2:5])
+    np.testing.assert_array_equal(
+        _to_matrix(t.column("embedding")), m[2:5].astype(np.float64)
+    )
