@@ -88,21 +88,23 @@ class BruteForceTopK:
         scores = 1.0 + self.qn @ (m / norms).T  # (n_queries, n_batch)
         nq, nb = scores.shape
         k = min(self.k + (1 if self.exclude_self else 0), nb)
-        # per-batch partial top-k per query
+        # per-batch partial top-k per query — flat emission, no per-query
+        # Python loop (row order within the partial is irrelevant: the
+        # final topk_per_query merge sorts globally)
         part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
-        out_q, out_n, out_s = [], [], []
-        for qi in range(nq):
-            cand = part[qi]
-            if self.exclude_self:
-                cand = cand[ids[cand] != self.query_ids[qi]]
-            out_q.append(np.full(len(cand), self.query_ids[qi], dtype=np.int64))
-            out_n.append(ids[cand])
-            out_s.append(scores[qi, cand])
+        q_ix = np.repeat(np.arange(nq), part.shape[1])
+        cand = part.reshape(-1)
+        qid = self.query_ids[q_ix]
+        nid = ids[cand]
+        sc = scores[q_ix, cand]
+        if self.exclude_self:
+            keep = nid != qid
+            qid, nid, sc = qid[keep], nid[keep], sc[keep]
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-                "score": pa.array(np.concatenate(out_s), pa.float64()),
+                "query_id": pa.array(qid.astype(np.int64), pa.int64()),
+                "neighbor_id": pa.array(nid.astype(np.int64), pa.int64()),
+                "score": pa.array(sc, pa.float64()),
             }
         )
 
@@ -164,18 +166,18 @@ def knn_exact_metric(embeddings, query_ids_matrix: dict, k: int, metric: str):
         nq, nb = scores.shape
         kk = min(k + 1, nb)
         part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-        out_q, out_n, out_s = [], [], []
-        for qi in range(nq):
-            cand = part[qi]
-            cand = cand[ids[cand] != query_ids[qi]]
-            out_q.append(np.full(len(cand), query_ids[qi], dtype=np.int64))
-            out_n.append(ids[cand])
-            out_s.append(scores[qi, cand])
+        q_ix = np.repeat(np.arange(nq), part.shape[1])
+        cand = part.reshape(-1)
+        qid = query_ids[q_ix]
+        nid = ids[cand]
+        sc = scores[q_ix, cand]
+        keep = nid != qid
+        qid, nid, sc = qid[keep], nid[keep], sc[keep]
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-                "score": pa.array(np.concatenate(out_s), pa.float64()),
+                "query_id": pa.array(qid.astype(np.int64), pa.int64()),
+                "neighbor_id": pa.array(nid.astype(np.int64), pa.int64()),
+                "score": pa.array(sc, pa.float64()),
             }
         )
 
