@@ -63,6 +63,11 @@ def decode_f32_matrix(col, dims: int) -> np.ndarray:
     if pa.types.is_binary(arr.type):
         arr = arr.cast(pa.large_binary())
     n = len(arr)
+    if arr.null_count:
+        raise ValueError(
+            "null field blobs reached decode_f32_matrix; filter null rows "
+            "first (missing-vector docs are invisible to this field)"
+        )
     if n == 0:
         return np.empty((0, dims), dtype=np.float64)
     buf_offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
@@ -114,6 +119,11 @@ class MultiFieldCorpus:
         self._sparse_mapping(field)
 
         def shape(t: pa.Table, f=field) -> pa.Table:
+            col = t.column(f)
+            if col.null_count:  # missing field => invisible to its queries
+                import pyarrow.compute as pc
+
+                t = t.filter(pc.is_valid(col))
             return pa.table(
                 {
                     "doc_id": t.column("doc_id"),
@@ -166,6 +176,11 @@ class MultiFieldCorpus:
         def shape(t: pa.Table, f=field, dims=m.dims) -> pa.Table:
             if mask_fn is not None:
                 t = t.filter(pa.array(mask_fn(t)))
+            col = t.column(f)
+            if col.null_count:  # docs without this vector field are
+                import pyarrow.compute as pc  # invisible to its queries
+
+                t = t.filter(pc.is_valid(col))
             mat = decode_f32_matrix(t.column(f), dims)
             return pa.table(
                 {
@@ -269,9 +284,13 @@ def build_multi_field_corpus(
         )
 
     right = emb_ds.map_batches(emb_blob, batch_format="pyarrow")
+    # LEFT OUTER: a doc with no embedding row keeps its title field and a
+    # NULL body_emb — the reference's missing-vector semantics per field
+    # (DocsWithMissingVectorsSuite: the doc stays searchable on the fields
+    # it has; dense_view skips the null rows for body queries).
     joined = left.join(
         right,
-        join_type="inner",
+        join_type="left_outer",
         num_partitions=8,
         on=("doc_id",),
         right_on=("vec_id",),

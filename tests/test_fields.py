@@ -136,3 +136,60 @@ def test_multi_field_end_to_end(ray_session):
     dense = corpus.knn_dense("body_emb", q, k=3).to_pandas()
     assert sorted(dense.query_id.unique()) == [0, 1]
     assert len(dense) == 6
+
+
+def test_doc_missing_one_field_stays_searchable_on_the_other(ray_session):
+    """Per-field missing-vector semantics (DocsWithMissingVectorsSuite
+    applied to multi-field docs): a doc with no embedding row keeps its
+    title field — title queries still see it, body queries never do."""
+    import ray.data as rd
+
+    from elastiknn_ray.stages.fields import build_multi_field_corpus
+
+    n, dims = 60, 8
+    rng = np.random.default_rng(5)
+    words = ["red", "green", "blue", "cyan", "pink", "gold"]
+    texts = [" ".join(rng.choice(words, size=10).tolist()) for i in range(n)]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+            }
+        )
+    )
+    m = rng.normal(size=(n, dims)).astype(np.float32)
+    embedded = [i for i in range(n) if i % 3 != 0]  # every 3rd doc: no vector
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(embedded, pa.int64()),
+                "embedding": pa.array(
+                    m[embedded].tolist(), pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    corpus = build_multi_field_corpus(
+        docs, emb, title_words=8, title_shingle=ShingleConfig(k=2), dims=dims
+    )
+    # every doc (incl. the vector-less every-3rd) is present with its title
+    t = corpus.ds.materialize().to_pandas()
+    assert len(t) == n
+    assert t["body_emb"].isna().sum() == n - len(embedded)
+
+    # title search sees a vector-less doc (query by its own title sig)
+    title_hits = corpus.knn_sparse("title_sig", np.array([0, 3]), k=5).to_pandas()
+    assert set(title_hits["query_id"]) == {0, 3}
+
+    # body search: query with doc 1's own vector under a fresh id — the
+    # identical stored doc tops at score 2.0, and NO vector-less doc appears
+    body = corpus.knn_dense(
+        "body_emb", {"ids": np.array([-1]), "matrix": m[[1]].astype(np.float64)}, k=8
+    ).to_pandas()
+    assert len(body) == 8
+    assert (body["neighbor_id"] % 3 != 0).all()
+    top = body.sort_values("score", ascending=False).iloc[0]
+    assert int(top["neighbor_id"]) == 1
+    np.testing.assert_allclose(top["score"], 2.0, atol=1e-9)
