@@ -79,7 +79,26 @@ def _int_list(v, what: str) -> list[int]:
     return v
 
 
-def _coerce_row(obj: dict) -> dict:
+def _walk_path(obj: dict, vector_path: str):
+    """Fetch a value at a dotted path (DocsWithNestedVectorsSuite.scala /
+    issue #60: vectors may live at e.g. ``foo.bar.vec``).  Missing levels
+    yield None (no vector); a non-object intermediate is a type mismatch."""
+    node = obj
+    parts = vector_path.split(".")
+    for p in parts[:-1]:
+        if node is None:
+            return None
+        if not isinstance(node, dict):
+            raise ValueError(f"{vector_path}: {p!r} not an object")
+        node = node.get(p)
+    if node is None:
+        return None
+    if not isinstance(node, dict):
+        raise ValueError(f"{vector_path}: parent not an object")
+    return node.get(parts[-1])
+
+
+def _coerce_row(obj: dict, vector_path: str = "embedding") -> dict:
     """Schema-check one parsed object against _PARSE_SCHEMA's field types;
     raises ValueError on any type mismatch so the caller dead-letters the
     row instead of letting ``pa.Table.from_pylist`` fail the WHOLE batch
@@ -94,7 +113,7 @@ def _coerce_row(obj: dict) -> dict:
         if v is not None and not isinstance(v, str):
             raise ValueError(f"{f} not a string")
         row[f] = v
-    emb = obj.get("embedding")
+    emb = _walk_path(obj, vector_path)
     if emb is None:
         row["embedding"] = None
     elif isinstance(emb, dict):  # object form {"values": [...]}
@@ -119,12 +138,41 @@ def _coerce_row(obj: dict) -> dict:
     return row
 
 
-def _parse_lines(lines: list[str]) -> tuple[pa.Table, np.ndarray]:
+def _fast_schema_for(vector_path: str) -> pa.Schema:
+    """FAST-parse schema with the dense vector typed at its (possibly
+    dotted) path as a nested struct chain."""
+    if vector_path == "embedding":
+        return _FAST_SCHEMA
+    parts = vector_path.split(".")
+    field = pa.field(parts[-1], pa.list_(pa.float64()))
+    for p in reversed(parts[:-1]):
+        field = pa.field(p, pa.struct([field]))
+    return pa.schema([f for f in _FAST_SCHEMA if f.name != "embedding"] + [field])
+
+
+def _extract_vec(t: pa.Table, vector_path: str):
+    """Nested-path vector column → flat list<float64> (nulls propagate
+    through missing intermediate objects)."""
+    parts = vector_path.split(".")
+    col = t.column(parts[0])
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    for p in parts[1:]:
+        col = pc.struct_field(col, p)
+    return col
+
+
+def _parse_lines(
+    lines: list[str], vector_path: str = "embedding"
+) -> tuple[pa.Table, np.ndarray]:
     """One vectorized pyarrow.json parse of a batch of JSONL lines; on
     malformed input, per-line isolation (slow path, malformed rows only).
     Returns (parsed table, bad-line mask)."""
     blob = ("\n".join(lines)).encode("utf-8")
-    opts = pj.ParseOptions(explicit_schema=_FAST_SCHEMA, unexpected_field_behavior="ignore")
+    opts = pj.ParseOptions(
+        explicit_schema=_fast_schema_for(vector_path),
+        unexpected_field_behavior="ignore",
+    )
     try:
         t = pj.read_json(io.BytesIO(blob), parse_options=opts)
         if t.num_rows == len(lines):
@@ -138,7 +186,7 @@ def _parse_lines(lines: list[str]) -> tuple[pa.Table, np.ndarray]:
                     "url": t.column("url"),
                     "text": t.column("text"),
                     "lang": t.column("lang"),
-                    "embedding": t.column("embedding"),
+                    "embedding": _extract_vec(t, vector_path),
                     "sig_indices": sig.field("true_indices"),
                     "sig_total": sig.field("total_indices"),
                 }
@@ -156,19 +204,21 @@ def _parse_lines(lines: list[str]) -> tuple[pa.Table, np.ndarray]:
             obj = json.loads(ln)
             if not isinstance(obj, dict):
                 raise ValueError("not an object")
-            rows.append(_coerce_row(obj))
+            rows.append(_coerce_row(obj, vector_path))
         except (ValueError, TypeError):
             bad[i] = True
             rows.append({"doc_id": None, "url": None, "text": None, "lang": None})
     return pa.Table.from_pylist(rows, schema=_PARSE_SCHEMA), bad
 
 
-def parse_batch(batch: pa.Table, *, langs: tuple[str, ...]) -> pa.Table:
+def parse_batch(
+    batch: pa.Table, *, langs: tuple[str, ...], vector_path: str = "embedding"
+) -> pa.Table:
     """(text:string raw lines) → parsed rows + ``reason`` column:
     '' = valid, else one of 'malformed_json', 'missing_id', 'empty_text',
     'bad_lang' (most severe wins)."""
     lines = batch.column("text").to_pylist()
-    t, bad = _parse_lines(lines)
+    t, bad = _parse_lines(lines, vector_path)
     url = t.column("url")
     doc_id = t.column("doc_id")
     text = t.column("text")
@@ -203,16 +253,27 @@ def parse_batch(batch: pa.Table, *, langs: tuple[str, ...]) -> pa.Table:
     )
 
 
-def read_jsonl_docs(path: str, *, langs: tuple[str, ...] = ("en", "de", "fr")):
+def read_jsonl_docs(
+    path: str,
+    *,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+    vector_path: str = "embedding",
+):
     """path (file/dir of .jsonl) → one Dataset of parsed rows with a
     ``reason`` column ('' = valid).  Split it with :func:`valid_docs` /
     :func:`dead_letter_docs` — both are lazy filters over the SAME parse
-    stage, so a pipeline consuming the two sides still parses once."""
+    stage, so a pipeline consuming the two sides still parses once.
+    ``vector_path`` addresses the dense vector at a (possibly dotted)
+    nested path, e.g. ``foo.bar.vec`` — the reference indexes vectors at
+    nested mapping paths (DocsWithNestedVectorsSuite.scala, issue #60);
+    the parsed column is always emitted as ``embedding``."""
     import ray.data as rd
 
     lines = rd.read_text(path)
     return lines.map_batches(
-        parse_batch, fn_kwargs={"langs": tuple(langs)}, batch_format="pyarrow"
+        parse_batch,
+        fn_kwargs={"langs": tuple(langs), "vector_path": vector_path},
+        batch_format="pyarrow",
     )
 
 

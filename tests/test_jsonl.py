@@ -190,3 +190,64 @@ def test_shorthand_and_object_vector_forms(ray_session, tmp_path):
     assert list(rows[3]["sig_indices"]) == [2, 7] and rows[3]["sig_total"] == 10
     bad = dead_letter_docs(parsed).to_pandas()
     assert len(bad) == 1 and bad["reason"].tolist() == ["malformed_json"]
+
+
+def test_nested_vector_paths(ray_session, tmp_path):
+    """Mirror of DocsWithNestedVectorsSuite.scala (issue #60): a dense
+    vector indexed at each of the suite's four nested mapping paths parses
+    (fast path for bare arrays, slow path normalizes the object form) and
+    an exact L2 self-query returns exactly that doc at score 1.0."""
+    import json as _json
+
+    import numpy as np
+
+    from elastiknn_ray.sources.jsonl import read_jsonl_docs, valid_vectors
+    from elastiknn_ray.stages.knn import knn_exact_metric
+
+    rng = np.random.default_rng(0)
+    vec = [float(round(x, 6)) for x in rng.normal(size=10)]
+
+    def nest(path, value):
+        parts = path.split(".")
+        out = value
+        for p in reversed(parts):
+            out = {p: out}
+        return out
+
+    for i, path in enumerate(
+        ("vec", "foo.vec", "foo.bar.vec", "foo.bar.baz.vec")
+    ):
+        # doc 1 carries the vector (object form on the deepest path to
+        # exercise the slow-path normalization); docs 2-3 have none
+        leaf = {"values": vec} if path.count(".") == 3 else vec
+        rows = [
+            {"doc_id": 1, "text": "the doc with the vector", "lang": "en",
+             **nest(path, leaf)},
+            {"doc_id": 2, "text": "no vector here", "lang": "en"},
+            {"doc_id": 3, "text": "also none", "lang": "en"},
+        ]
+        p = tmp_path / f"nested_{i}.jsonl"
+        p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+        parsed = read_jsonl_docs(str(p), vector_path=path)
+        vecs = valid_vectors(parsed).to_pandas()
+        assert list(vecs["doc_id"]) == [1], (path, vecs)
+        emb = vecs.iloc[0]["embedding"]
+        np.testing.assert_allclose(list(emb), vec)
+        # exact L2 self-query: 1 hit, score exactly 1.0 (1/(1+0))
+        import pyarrow as pa
+        import ray.data as rd
+
+        corpus = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([1], pa.int64()),
+                    "embedding": pa.array([vec], pa.list_(pa.float32())),
+                }
+            )
+        )
+        q = {"ids": np.array([-1]), "matrix": np.array([vec], dtype=np.float64)}
+        hits = knn_exact_metric(corpus, q, k=1, metric="l2").to_pandas()
+        assert len(hits) == 1 and int(hits.iloc[0]["neighbor_id"]) == 1
+        # float32 storage rounds the stored vector; the self-distance is 0
+        # up to that rounding
+        assert hits.iloc[0]["score"] > 0.9999
