@@ -1237,9 +1237,16 @@ def _title_top_bigram(sf_dir: str) -> str:
     def partial(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # trim first: the whitespace splitter emits '' tokens at string
+        # edges (' a b' -> ['', 'a', 'b']), which would shift the
+        # TITLE_WORDS window and admit empty-token bigrams — the corpus
+        # side (build_multi_field_corpus's ^\s* regex) and the SQL
+        # oracle (list_filter x <> '') both ignore edge whitespace.
         lst = pc.list_slice(
             pc.utf8_split_whitespace(
-                pc.utf8_lower(pc.fill_null(t.column("text"), ""))
+                pc.utf8_trim_whitespace(
+                    pc.utf8_lower(pc.fill_null(t.column("text"), ""))
+                )
             ),
             0,
             TITLE_WORDS,
@@ -1315,12 +1322,9 @@ def q_mf_filtered_title_body(sf_dir: str):
     return out.select_columns(["query_id", "rank", "neighbor_id"])
 
 
-#: ORDER MATTERS for driver coverage: the per-round correctness run
-#: truncates at 50 entries (observed r2/r3: entries past position 49 get no
-#: CORRECTNESS row), so every ORACLE_SQL-bearing entry is listed FIRST.
-#: The no-oracle tail is ordered so the entries past the cutoff are the
-#: ones with the strongest standalone pytest pins (multimodal codecs,
-#: lang-id/fingerprint bit-exact pins, cluster recall pins).
+#: Registry order: every ORACLE_SQL-bearing entry first (DuckDB
+#: hash-compared), then the no-oracle entries (rows-only driver check;
+#: each carries its own pytest equality/recall/property pin).
 QUERIES = {
     # --- oracle-bearing entries (ORACLE_SQL key exists) ---
     "token_counts": q_token_counts,
@@ -1352,6 +1356,17 @@ QUERIES = {
     "mf_knn_body_cosine": q_mf_knn_body_cosine,
     "mf_filtered_title_body": q_mf_filtered_title_body,
     "perm_hashes": q_perm_hashes,
+    # --- relational / windowed oracle entries ---
+    "events_first_by_user_type": q_events_first_by_user_type,
+    "events_agg": q_events_agg,
+    "sessions": q_sessions,
+    "events_rolling_1h": q_events_rolling_1h,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "customers_without_orders": q_customers_without_orders,
+    "doc_length_histogram": q_doc_length_histogram,
+    "lineitem_agg": q_lineitem_agg,
+    "top_orders": q_top_orders,
+    "customer_order_counts": q_customer_order_counts,
     # --- no-oracle entries (rows-only driver check + pytest pins) ---
     "lsh_dup_pairs": q_lsh_dup_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -1366,7 +1381,6 @@ QUERIES = {
     "knn_perm_cosine": q_knn_perm_cosine,
     "knn_l2_lsh": q_knn_l2_lsh,
     "emb_l2_lsh_pairs": q_emb_l2_lsh_pairs,
-    # --- past the observed 50-entry driver cutoff: strongest pytest pins ---
     "lsh_clusters": q_lsh_clusters,
     "simhash_clusters": q_simhash_clusters,
     "substring_dedup_docs": q_substring_dedup_docs,
@@ -1375,21 +1389,6 @@ QUERIES = {
     "image_features": q_image_features,
     "audio_chunks": q_audio_chunks,
     "video_frames": q_video_frames,
-    # --- relational/windowed oracle entries, LAST on purpose: the driver
-    # records at most 50 correctness rows (29 oracle + 21 no-oracle in both
-    # r2 and r3); these 10 were oracle-green in round 1 and are the least
-    # elastiknn-specific, so they absorb the overflow under either observed
-    # truncation model (first-29-oracle or first-50-dict-order) ---
-    "events_first_by_user_type": q_events_first_by_user_type,
-    "events_agg": q_events_agg,
-    "sessions": q_sessions,
-    "events_rolling_1h": q_events_rolling_1h,
-    "top_orders_per_customer": q_top_orders_per_customer,
-    "customers_without_orders": q_customers_without_orders,
-    "doc_length_histogram": q_doc_length_histogram,
-    "lineitem_agg": q_lineitem_agg,
-    "top_orders": q_top_orders,
-    "customer_order_counts": q_customer_order_counts,
 }
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"

@@ -56,10 +56,10 @@ def embeddings_to_ndarray(table: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     col = table.column("embedding")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    # .values ignores a slice offset; flatten() honors it (zero-copy at
-    # offset 0)
-    values = col.flatten() if col.offset else col.values
-    flat = values.to_numpy(zero_copy_only=False).astype(np.float32)
+    # .values ignores a slice offset and trailing child values (a
+    # zero-offset slice of a longer ListArray over-reads); flatten()
+    # honors both and is zero-copy for unsliced arrays.
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
     n = len(col)
     ids = table.column("vec_id").to_numpy(zero_copy_only=False)
     return ids, flat.reshape(n, -1) if n else flat.reshape(0, 0)

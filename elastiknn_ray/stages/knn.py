@@ -56,10 +56,10 @@ def _to_matrix(col) -> np.ndarray:
         raise ValueError(
             "null vectors reached _to_matrix; filter with drop_null_vectors"
         )
-    # .values ignores a slice offset (and any trailing values past the last
-    # list) — flatten() honors both and is zero-copy for offset-0 arrays
-    values = col.flatten() if col.offset else col.values
-    flat = values.to_numpy(zero_copy_only=False).astype(np.float64)
+    # .values ignores a slice offset AND trailing child values past the last
+    # list (a zero-offset slice of a longer ListArray still over-reads) —
+    # flatten() honors both and is zero-copy for offset-0 unsliced arrays.
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(col)
     return flat.reshape(n, -1) if n else flat.reshape(0, 0)
 
@@ -405,8 +405,11 @@ def count_cut_partials(
         # O(E) doc factorization: ``rows`` is ascending and band tables are
         # doc-major (each doc's L rows contiguous), so docs[rows] is
         # run-per-doc — change-point coding replaces a full np.unique sort.
-        # On a NON-doc-major stream a doc just yields several runs whose
-        # partial counts the merge stage sums (correct either way).
+        # On a NON-doc-major stream a doc yields several runs; with
+        # partial_cut=False the merge stage sums them (correct), and with
+        # partial_cut=True the duplicate (query, doc) runs are summed below
+        # BEFORE the cut so the per-block kthGreatest never sees split
+        # partial counts.
         dr = docs[rows]
         change = np.r_[True, dr[1:] != dr[:-1]]
         run_ix = np.cumsum(change) - 1
@@ -427,6 +430,20 @@ def count_cut_partials(
             uq = ukey // n_runs
             nb = udoc[ukey % n_runs]
         if partial_cut:
+            # Contiguity guard: if any doc spans multiple runs (the block
+            # was not doc-major — e.g. user-supplied corpus_bands), a
+            # (query, doc) pair's count is split across runs and cutting
+            # the split partials could drop a pair whose in-block sum
+            # survives the kthGreatest.  Sum duplicates first; on
+            # doc-major blocks every doc is exactly one run and this is
+            # a cheap O(n_runs log n_runs) no-op check.
+            if len(np.unique(udoc)) != n_runs:
+                uniq_docs, dcode = np.unique(nb, return_inverse=True)
+                nd = np.int64(len(uniq_docs))
+                ukey2, inv = np.unique(uq * nd + dcode, return_inverse=True)
+                cnt = np.bincount(inv, weights=cnt).astype(np.int64)
+                uq = (ukey2 // nd).astype(np.int64)
+                nb = uniq_docs[ukey2 % nd]
             keep = _kth_greatest_mask(uq, nb, cnt, candidates, nq)
             uq, nb, cnt = uq[keep], nb[keep], cnt[keep]
         return pa.table(
@@ -701,8 +718,10 @@ def _sort_gathered(tables, metric: str) -> tuple[np.ndarray, np.ndarray]:
         col = t.column("embedding")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        values = col.flatten() if col.offset else col.values  # offset-safe
-        flat = values.to_numpy(zero_copy_only=False)
+        # flatten(), never .values: a zero-offset slice of a longer
+        # ListArray still carries trailing child values that .values
+        # would include, mis-shaping the matrix.
+        flat = col.flatten().to_numpy(zero_copy_only=False)
         mats.append(flat.reshape(len(col), -1))
     if not ids_parts:
         return (np.empty(0, np.int64), np.empty((0, 0)))

@@ -87,3 +87,34 @@ def test_sliced_list_columns_convert_correctly():
     np.testing.assert_array_equal(
         _to_matrix(t.column("embedding")), m[2:5].astype(np.float64)
     )
+
+
+def test_zero_offset_slice_of_longer_list_array():
+    """ADVICE r4 (high): a ZERO-offset slice of a longer ListArray still has
+    trailing child values — .values returns the FULL child buffer, so the
+    old `flatten() if offset else .values` shortcut reshaped trailing rows
+    into the matrix.  All three sites must use flatten() unconditionally."""
+    import numpy as np
+    import pyarrow as pa
+
+    from elastiknn_ray.sources.convert import embeddings_to_ndarray
+    from elastiknn_ray.stages.knn import _sort_gathered, _to_matrix
+
+    m = np.arange(8, dtype=np.float32).reshape(4, 2)
+    emb = pa.array([list(map(float, r)) for r in m], pa.list_(pa.float32()))
+    t = pa.table(
+        {"vec_id": pa.array(np.arange(4, dtype=np.int64)), "embedding": emb}
+    ).slice(0, 2)
+
+    got = _to_matrix(t.column("embedding"))
+    assert got.shape == (2, 2)
+    np.testing.assert_array_equal(got, m[:2].astype(np.float64))
+
+    got_ids, got2 = embeddings_to_ndarray(t)
+    np.testing.assert_array_equal(got_ids, [0, 1])
+    np.testing.assert_array_equal(got2, m[:2])
+
+    ids3, m3 = _sort_gathered([t], "l2")
+    np.testing.assert_array_equal(ids3, [0, 1])
+    assert m3.shape == (2, 2)
+    np.testing.assert_array_equal(m3, m[:2])

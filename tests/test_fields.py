@@ -193,3 +193,26 @@ def test_doc_missing_one_field_stays_searchable_on_the_other(ray_session):
     top = body.sort_values("score", ascending=False).iloc[0]
     assert int(top["neighbor_id"]) == 1
     np.testing.assert_allclose(top["score"], 2.0, atol=1e-9)
+
+
+def test_title_top_bigram_ignores_edge_whitespace(ray_session, tmp_path):
+    """ADVICE r4 (low): whitespace-padded titles must not shift the
+    TITLE_WORDS window or admit empty-token bigrams into the DF counts —
+    the probe must match the SQL oracle's drop-empty-token semantics."""
+    import pyarrow.parquet as pq
+
+    from elastiknn_ray.pipelines.queries import _title_top_bigram
+
+    # every title is padded; pre-fix the splitter yielded ['', w1..w7] so
+    # the top (df=3) bigram was ' w1' (an empty-token bigram, and 'w7 w8'
+    # never entered the window).
+    text = " w1 w2 w3 w4 w5 w6 w7 w8"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([text, text, text + " tail"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    top = _title_top_bigram(str(tmp_path))
+    assert top == "w1 w2"

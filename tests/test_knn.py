@@ -622,3 +622,50 @@ def test_shuffled_query_order_returns_identical_hits(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_partial_cut_sums_split_runs_within_block(ray_session):
+    """ADVICE r4 (medium): inside ONE block whose rows are NOT doc-major
+    (user-supplied corpus_bands), a doc's repeats factorize into several
+    change-point runs; partial_cut=True must sum duplicate (query, doc)
+    runs BEFORE the kthGreatest cut so a pair whose in-block sum survives
+    is never dropped on its split partials."""
+    import ray.data as rd
+
+    from elastiknn_ray.stages.knn import (
+        QueryHashIndex,
+        count_cut_partials,
+        merge_cut_candidates,
+    )
+
+    # one block, interleaved so doc 100's four collisions are four runs of
+    # count 1 each; docs 11/12/13 collide once.  candidates=2:
+    #  - split partials: seven count-1 ties -> ascending-id keeps 11, 12
+    #    (drops doc 100 entirely)
+    #  - summed: doc 100 (4) tops the cut, then doc 11 on the tie.
+    block = pa.table(
+        {
+            "doc_id": pa.array([100, 11, 100, 12, 100, 13, 100], pa.int64()),
+            "band_hash": pa.array([1, 9, 2, 9, 3, 9, 4], pa.uint64()),
+        }
+    )
+    qindex = QueryHashIndex(
+        np.array([0], dtype=np.int64),
+        np.array([[1, 2, 3, 4, 9]], dtype=np.uint64),
+    )
+    bands = rd.from_arrow([block])
+
+    for flag in (True, False):
+        got = (
+            merge_cut_candidates(
+                count_cut_partials(bands, qindex, 2, partial_cut=flag), 2
+            )
+            .to_pandas()
+            .sort_values("neighbor_id")
+            .reset_index(drop=True)
+        )
+        assert got["neighbor_id"].tolist() == [11, 100], flag
+        assert got.set_index("neighbor_id")["n_bands"].to_dict() == {
+            100: 4,
+            11: 1,
+        }, flag
