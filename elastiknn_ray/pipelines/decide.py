@@ -107,6 +107,52 @@ def _drop_exact(docs):
     )
 
 
+def _without_ids(docs, drop_ids, n_drop: int, num_partitions: int):
+    """docs minus the (doc_id,) drop set — broadcast searchsorted filter
+    under BROADCAST_DOC_LIMIT (one ray.put of a sorted int64 array), else a
+    left-outer shuffle join keeping marker-null rows (anti join)."""
+    import ray
+
+    if n_drop == 0:
+        return docs
+    if n_drop <= BROADCAST_DOC_LIMIT:
+        parts = [
+            b.column("doc_id").to_numpy(zero_copy_only=False)
+            for b in drop_ids.iter_batches(batch_format="pyarrow")
+        ]
+        ids = np.sort(np.concatenate(parts).astype(np.int64))
+        ref = ray.put(ids)
+
+        def anti(t: pa.Table) -> pa.Table:
+            sids = ray.get(ref)
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            p = np.minimum(np.searchsorted(sids, d), len(sids) - 1)
+            return t.filter(pa.array(sids[p] != d))
+
+        return docs.map_batches(anti, batch_format="pyarrow")
+    marker = drop_ids.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "_drop": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = docs.join(
+        drop_empty_blocks(marker),
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+    return j.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("_drop"))).drop_columns(
+            ["_drop"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _drop_near(clusters):
     """Cluster members that are not the (min-id) representative."""
     return clusters.map_batches(
@@ -233,13 +279,23 @@ def dedup_decisions(
     sub_cfg = sub_cfg or SubstringConfig(num_partitions=num_partitions)
     docs = docs.materialize()
     res = near_dup_pipeline(docs, cfg, num_partitions=num_partitions)
-    spans = substring_spans(docs, sub_cfg)
+    # exact drops first: their reason is "exact" (rank 0) no matter what the
+    # span stage says, and their min-id representative carries identical
+    # text, so excluding them from the span corpus loses no span content —
+    # it only stops the suffix-array stage re-processing verbatim clones
+    # (at web dup rates a large fraction of the corpus).
+    exact_drops = _drop_exact(docs).materialize()
+    span_docs = _without_ids(
+        docs, exact_drops, exact_drops.count(), num_partitions
+    )
+    spans = substring_spans(span_docs, sub_cfg)
     return decisions_from(
         docs,
         res.clusters,
         spans,
         substring_frac=substring_frac,
         num_partitions=num_partitions,
+        exact_drops=exact_drops,
     )
 
 
@@ -250,14 +306,17 @@ def decisions_from(
     *,
     substring_frac: float = 0.5,
     num_partitions: int = 8,
+    exact_drops=None,
 ):
     """Compose the decision table from PRECOMPUTED clusters + spans (the
     checkpointed pipeline feeds persisted stage outputs here; dedup_decisions
-    wires the live pipelines).  docs must be materialized."""
+    wires the live pipelines).  docs must be materialized.  ``exact_drops``
+    (a (doc_id,) Dataset) reuses a precomputed exact-drop set; None computes
+    it here."""
     from ray.data.aggregate import Min
 
     drops = (
-        _ranked(_drop_exact(docs), 0)
+        _ranked(exact_drops if exact_drops is not None else _drop_exact(docs), 0)
         .union(_ranked(_drop_near(clusters), 1))
         .union(_ranked(_drop_substring(docs, spans, substring_frac, num_partitions), 2))
     )

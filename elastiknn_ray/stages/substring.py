@@ -49,6 +49,15 @@ class SubstringConfig:
     num_partitions: int | None = None
     target_blob_bytes: int = 256 << 20
     min_partitions: int = 32
+    #: winnow-screen the intra path: drop docs with no repeated fingerprint
+    #: in their partition before suffix-array construction.  Lossless for
+    #: the stage's output whenever window + guard - 1 <= min_len (every
+    #: duplicated run >= min_len forces a repeated selected fingerprint in
+    #: both copies — Schleimer 2003 guarantee), so partitions that are
+    #: mostly unique pay one vectorized rolling-hash pass instead of an
+    #: O(n log n) suffix sort over the whole blob.  Auto-disabled when the
+    #: guarantee precondition fails.
+    screen: bool = True
 
 
 def resolve_num_partitions(docs, cfg: SubstringConfig) -> int:
@@ -76,13 +85,50 @@ def resolve_num_partitions(docs, cfg: SubstringConfig) -> int:
 
 # ---------------------------------------------------------------- intra path
 
-def _intra_partition_kernel(t: pa.Table, min_len: int) -> pa.Table:
+_EMPTY_SPANS = pa.table(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "start": pa.array([], pa.int64()),
+        "end": pa.array([], pa.int64()),
+    }
+)
+
+
+def _screen_suspects(
+    ids: np.ndarray, texts: list[bytes], w: int, g: int
+) -> tuple[np.ndarray, list[bytes]] | None:
+    """Winnow screen (SubstringConfig.screen): returns the (ids, texts)
+    subset that can participate in a duplicated run >= w + g - 1 bytes —
+    docs owning at least one fingerprint value that repeats anywhere in
+    the partition (across docs OR within one doc).  None = no repeats, the
+    caller skips suffix-array construction entirely.  Hash collisions only
+    over-retain (false suspects), never lose a span."""
+    row_ix, _, fp = winnow_fingerprints(texts, w, g)
+    if len(fp) == 0:
+        return None
+    uniq, inv, counts = np.unique(fp, return_inverse=True, return_counts=True)
+    hot = counts[inv] > 1
+    if not hot.any():
+        return None
+    keep = np.unique(row_ix[hot])  # sorted => preserves the doc_id order
+    return ids[keep], [texts[k] for k in keep]
+
+
+def _intra_partition_kernel(
+    t: pa.Table, min_len: int, window: int = 0, guard: int = 0
+) -> pa.Table:
     ids = t.column("doc_id").to_numpy(zero_copy_only=False)
     texts = [x.encode("utf-8") if x is not None else b"" for x in t.column("text").to_pylist()]
     # deterministic concat order (partition row order varies with execution)
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
     texts = [texts[i] for i in order]
+    # screen only under the lossless precondition (see SubstringConfig)
+    if window and guard and window + guard - 1 <= min_len:
+        kept = _screen_suspects(ids, texts, window, guard)
+        if kept is None:
+            return _EMPTY_SPANS
+        ids, texts = kept
     sep_parts, bounds = [], [0]
     for i, b in enumerate(texts):
         sep_parts.append(b)
@@ -91,13 +137,7 @@ def _intra_partition_kernel(t: pa.Table, min_len: int) -> pa.Table:
     blob = np.frombuffer(b"".join(sep_parts), dtype=np.uint8)
     starts, lens = duplicate_spans(blob, min_len)
     if len(starts) == 0:
-        return pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "start": pa.array([], pa.int64()),
-                "end": pa.array([], pa.int64()),
-            }
-        )
+        return _EMPTY_SPANS
     doc_starts = np.array(bounds[:-1], dtype=np.int64)
     doc_text_ends = doc_starts + np.array([len(b) for b in texts], dtype=np.int64)
     ix = np.searchsorted(doc_starts, starts, side="right") - 1
@@ -115,11 +155,19 @@ def _intra_partition_kernel(t: pa.Table, min_len: int) -> pa.Table:
     )
 
 
-def intra_partition_spans(docs, min_len: int, num_partitions: int = 32):
+def intra_partition_spans(
+    docs,
+    min_len: int,
+    num_partitions: int = 32,
+    *,
+    window: int = 0,
+    guard: int = 0,
+):
     """docs(doc_id, text) → (doc_id, start, end) duplicate spans found by a
     per-partition suffix array.  Partitioning assumption: detects matches
     only between docs in the same ``doc_id % num_partitions`` cell (the
-    window path covers the rest)."""
+    window path covers the rest).  Non-zero ``window``/``guard`` enable the
+    lossless winnow screen before suffix-array construction."""
     keyed = docs.map_batches(
         lambda t, p=num_partitions: t.append_column(
             "part",
@@ -130,7 +178,9 @@ def intra_partition_spans(docs, min_len: int, num_partitions: int = 32):
         batch_format="pyarrow",
     )
     return keyed.groupby("part").map_groups(
-        lambda t, m=min_len: _intra_partition_kernel(t.drop_columns(["part"]), m),
+        lambda t, m=min_len, w=window, g=guard: _intra_partition_kernel(
+            t.drop_columns(["part"]), m, w, g
+        ),
         batch_format="pyarrow",
     )
 
@@ -300,7 +350,13 @@ def substring_spans(docs, cfg: SubstringConfig | None = None):
     shared by both paths and the merge shuffle."""
     cfg = cfg or SubstringConfig()
     p = resolve_num_partitions(docs, cfg)
-    intra = intra_partition_spans(docs, cfg.min_len, p)
+    intra = intra_partition_spans(
+        docs,
+        cfg.min_len,
+        p,
+        window=cfg.window if cfg.screen else 0,
+        guard=cfg.guard if cfg.screen else 0,
+    )
     cross = cross_partition_window_spans(docs, cfg, p)
     both = intra.union(cross)
     keyed = both.map_batches(

@@ -153,6 +153,13 @@ class CheckpointRunner:
         }
 
 
+def _empty_ids():
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+
+
 def checkpointed_near_dup(pages_path: str, cfg, root: str, *, num_partitions: int = 16):
     """The flagship pipeline with a checkpoint after every stage: any rerun
     with the same config resumes at the first incomplete stage.
@@ -244,7 +251,11 @@ def checkpointed_dedup_decisions(
     """
     import ray.data as rd
 
-    from elastiknn_ray.pipelines.decide import decisions_from
+    from elastiknn_ray.pipelines.decide import (
+        _drop_exact,
+        _without_ids,
+        decisions_from,
+    )
     from elastiknn_ray.stages.hashing import prepare_batch
     from elastiknn_ray.stages.substring import SubstringConfig, substring_spans
 
@@ -260,22 +271,40 @@ def checkpointed_dedup_decisions(
             .select_columns(["doc_id", "text"])
         )
 
+    src = pages_path + input_fingerprint(pages_path)
+    exact_drops = runner.stage(
+        "exact",
+        src,
+        [],
+        lambda: _drop_exact(docs_ds()),
+    )
+    n_exact = runner.results["exact"].rows
+    # span corpus excludes exact-dup docs: their decision is "exact"
+    # regardless and their min-id representative carries identical text, so
+    # no span content is lost — the suffix-array stage just stops paying
+    # for verbatim clones.
     spans = runner.stage(
         "spans",
-        repr(sub_cfg) + pages_path + input_fingerprint(pages_path),
-        [],
-        lambda: substring_spans(docs_ds(), sub_cfg),
+        repr(sub_cfg) + src,
+        ["exact"],
+        lambda: substring_spans(
+            _without_ids(docs_ds(), exact_drops, n_exact, num_partitions),
+            sub_cfg,
+        ),
     )
     decisions = runner.stage(
         "decisions",
         f"frac={substring_frac}",
-        ["clusters", "spans"],
+        ["exact", "clusters", "spans"],
         lambda: decisions_from(
             docs_ds().materialize(),
             clusters,
             spans,
             substring_frac=substring_frac,
             num_partitions=num_partitions,
+            # a 0-row checkpoint read-back can be schema-less; substitute a
+            # typed empty so downstream projections keep their schema
+            exact_drops=exact_drops if n_exact else _empty_ids(),
         ),
     )
     return decisions, runner

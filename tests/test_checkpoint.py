@@ -117,7 +117,8 @@ def test_checkpointed_dedup_decisions_resume(ray_session, pages_path, tmp_path):
     dec1, r1 = checkpointed_dedup_decisions(pages_path, CFG, root, num_partitions=4)
     df1 = dec1.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert set(r1.results) == {
-        "signatures", "candidates", "verified", "clusters", "spans", "decisions"
+        "signatures", "candidates", "verified", "clusters",
+        "exact", "spans", "decisions",
     }
 
     # live-pipeline equivalence
@@ -135,6 +136,7 @@ def test_checkpointed_dedup_decisions_resume(ray_session, pages_path, tmp_path):
     dec2, r2 = checkpointed_dedup_decisions(pages_path, CFG, root, num_partitions=4)
     assert r2.results["signatures"].skipped
     assert r2.results["clusters"].skipped
+    assert r2.results["exact"].skipped
     assert not r2.results["spans"].skipped  # recomputed
     # decisions' digest is structural (depends on spans' digest, not its
     # bytes); the recompute is deterministic, so restoring it is valid

@@ -183,3 +183,44 @@ def test_window_path_enforces_min_len(ray_session):
     d5 = out[out["doc_id"] == 5]
     assert len(d5) >= 1
     assert (d5["end"] - d5["start"]).max() >= 200
+
+
+def test_winnow_screen_is_lossless(ray_session):
+    """screen=True (drop docs with no repeated partition fingerprint before
+    suffix-array construction) must be byte-identical to screen=False — the
+    winnowing guarantee makes every doc participating in a >= min_len
+    duplicated run a suspect.  Checked on a dup-rich corpus and on an
+    all-unique corpus (where the screen skips the SA entirely)."""
+    import numpy as np
+    import ray.data as rd
+
+    from elastiknn_ray.stages.substring import SubstringConfig, substring_spans
+
+    docs = _docs_ds(400, 7)
+    base = dict(min_len=200, window=64, guard=32, num_partitions=8)
+    on = substring_spans(docs, SubstringConfig(**base, screen=True)).to_pandas()
+    off = substring_spans(docs, SubstringConfig(**base, screen=False)).to_pandas()
+    key = ["doc_id", "start", "end"]
+    np.testing.assert_array_equal(
+        on.sort_values(key).reset_index(drop=True).values,
+        off.sort_values(key).reset_index(drop=True).values,
+    )
+    assert len(on) > 0
+
+    # all-unique corpus: screen path returns empty without building an SA
+    import pyarrow as pa
+
+    rng = np.random.default_rng(3)
+    uniq = pa.table(
+        {
+            "doc_id": pa.array(np.arange(64, dtype=np.int64)),
+            "text": pa.array(
+                [
+                    " ".join(str(rng.integers(0, 1 << 30)) for _ in range(120))
+                    for _ in range(64)
+                ]
+            ),
+        }
+    )
+    ds = rd.from_arrow(uniq)
+    assert substring_spans(ds, SubstringConfig(**base, screen=True)).count() == 0
