@@ -187,3 +187,34 @@ def test_hot_band_and_empty_sentinel_stress(ray_session):
     cap = cfg.hot_band_cap
     per_group_bound = (n_same // cap + 1) * (cap * (cap - 1) // 2) + n_same
     assert n_pairs < 2 * (per_group_bound + n_empty * (n_empty - 1) // 2)
+
+
+def test_spill_path_outputs_equal_in_memory_path(ray_session, monkeypatch, tmp_path):
+    """Forcing the pin-or-spill gate onto its Parquet path (budget fraction
+    ~0) must leave the flagship's pairs/clusters byte-identical to the
+    in-memory materialize path."""
+    import ray.data as rd
+
+    import elastiknn_ray.pipelines.near_dup as nd
+    from elastiknn_ray.pipelines.near_dup import near_dup_pipeline
+
+    pages = synth.pages_table(300, 11)
+    ds = rd.from_arrow(pages).repartition(5)
+
+    res_mem = near_dup_pipeline(ds, CFG, num_partitions=4)
+    mem_pairs = res_mem.pairs.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    mem_clusters = res_mem.clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    monkeypatch.setattr(nd, "PIN_BUDGET_FRAC", 0.0)
+    monkeypatch.setenv("GRAFT_SPILL_DIR", str(tmp_path))
+    res_disk = near_dup_pipeline(ds, CFG, num_partitions=4)
+    disk_pairs = res_disk.pairs.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    disk_clusters = res_disk.clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(mem_pairs, disk_pairs)
+    pd.testing.assert_frame_equal(mem_clusters, disk_clusters)
+    # the spill actually happened: parquet landed under the override dir
+    spilled = list(tmp_path.glob("elastiknn_spill_*"))
+    assert spilled, "expected spill directories under GRAFT_SPILL_DIR"
