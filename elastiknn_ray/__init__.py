@@ -18,6 +18,7 @@ Reference semantics (file:line pointers refer to /root/reference):
 
 __version__ = "0.1.0"
 
+from elastiknn_ray.models.facade import ElastiknnModel  # noqa: F401
 from elastiknn_ray.config import (  # noqa: F401
     CosineLshConfig,
     DedupConfig,

@@ -1319,11 +1319,14 @@ def knn_perm_cosine(
     *,
     perm=None,
     candidates: int = 100,
+    metric: str = "cosine",
 ):
-    """Permutation-LSH cosine kNN: corpus and queries hash to (hash, freq)
+    """Permutation-LSH kNN: corpus and queries hash to (hash, freq)
     rows (PermutationLshModel.java:25-52), candidates are counted with the
     FREQ-CAPPED counter (min(freq_q, freq_d) per term — what makes
-    PermutationLsh ranking correct), cut per query, exact-cosine re-scored.
+    PermutationLsh ranking correct), cut per query, exact re-scored.
+    ``metric``: "cosine" or "l2" — the reference's two PermutationLsh
+    query similarities (client-python utils.valid_metrics_algos).
     """
     from elastiknn_ray.config import PermutationLshConfig
     from elastiknn_ray.stages.float_lsh import PermutationLshStage, permutation_hashes
@@ -1371,7 +1374,7 @@ def knn_perm_cosine(
         ),
         candidates,
     )
-    return rescore_cosine_topk(cand, embeddings, query_ids, qm, k)
+    return rescore_cosine_topk(cand, embeddings, query_ids, qm, k, metric=metric)
 
 
 def knn_l2_lsh(
