@@ -786,6 +786,80 @@ def q_knn_exact_cosine(sf_dir: str):
     return out.select_columns(["query_id", "rank", "neighbor_id"])
 
 
+#: Oracle-computable LSH operating point: the hyperplanes are DERIVED
+#: constants (JavaRandom(seed) — bit-exact, models/params.py), so the SQL
+#: oracle can recompute bucket membership from literal plane vectors and
+#: re-run the whole read path (bucket → union of L tables → exact rescore
+#: → top-k) in DuckDB.  candidates is set above any possible bucket size
+#: so the kthGreatest cut is a no-op (collision COUNTS are engine-internal;
+#: membership + rescore order are what SQL can check exactly).
+KNN_LSH_ORACLE_CFG = None  # lazily built (needs config import)
+
+
+def _lsh_oracle_cfg():
+    global KNN_LSH_ORACLE_CFG
+    if KNN_LSH_ORACLE_CFG is None:
+        from elastiknn_ray.config import CosineLshConfig
+
+        KNN_LSH_ORACLE_CFG = CosineLshConfig(dims=64, L=2, k=4, seed=7)
+    return KNN_LSH_ORACLE_CFG
+
+
+def q_knn_lsh_cosine_bucketed(sf_dir: str):
+    """The FULL cosine-LSH read path (hash → band collision → cut → exact
+    rescore → top-k) at an oracle-computable operating point — the first
+    LSH entry DuckDB can hash-compare end-to-end (VERDICT r4 next-round #7).
+    candidates exceeds the corpus so the per-query cut keeps every
+    colliding doc; the oracle reproduces bucket membership from the derived
+    hyperplane constants embedded as SQL literals."""
+    from elastiknn_ray.stages.knn import knn_lsh_cosine
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _emb_queries(sf_dir)
+    out = knn_lsh_cosine(
+        emb, q, k=5, candidates=10**6, lsh=_lsh_oracle_cfg()
+    )
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
+def _lsh_cosine_oracle_sql() -> str:
+    """Generate the DuckDB mirror of q_knn_lsh_cosine_bucketed: bucket ids
+    from sign bits of the SAME derived hyperplanes (float32 constants are
+    exact in float64 literals), candidates = same-bucket docs in either
+    table, exact-cosine rescore, (score desc, neighbor_id) rank."""
+    from elastiknn_ray.models.params import derive_hyperplanes
+
+    cfg = _lsh_oracle_cfg()
+    planes = derive_hyperplanes(cfg).planes  # (L*k, dims) float32
+
+    def bucket(tbl: int) -> str:
+        bits = []
+        for j in range(cfg.k):
+            row = planes[tbl * cfg.k + j]
+            lit = "[" + ",".join(repr(float(v)) for v in row) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    return f"""
+        WITH b AS (SELECT vec_id, embedding,
+                          {bucket(0)} AS b0,
+                          {bucket(1)} AS b1
+                   FROM embeddings),
+        q AS (SELECT * FROM b WHERE vec_id < 10),
+        s AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding, d.embedding) AS score
+              FROM q JOIN b d
+                ON (q.b0 = d.b0 OR q.b1 = d.b1) AND d.vec_id <> q.vec_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS rank
+              FROM s)
+        SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5"""
+
+
 def _knn_metric_query(sf_dir: str, metric: str):
     from elastiknn_ray.stages.knn import knn_exact_metric
 
@@ -1345,6 +1419,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
     "knn_exact_cosine": q_knn_exact_cosine,
+    "knn_lsh_cosine_bucketed": q_knn_lsh_cosine_bucketed,
     "knn_exact_l2": q_knn_exact_l2,
     "knn_exact_l1": q_knn_exact_l1,
     "knn_exact_jaccard": q_knn_exact_jaccard,
@@ -1802,4 +1877,7 @@ ORACLE_SQL = {
     # not SQL-expressible → driver records rows-only checks (exactness of the
     # surviving pairs is separately guaranteed by exact_shingle_pairs +
     # tests/test_pipeline.py's brute-force oracle).
+    # knn_lsh_cosine_bucketed IS SQL-expressible: its hyperplanes are derived
+    # constants, so the oracle recomputes bucket membership from literals.
+    "knn_lsh_cosine_bucketed": _lsh_cosine_oracle_sql(),
 }
