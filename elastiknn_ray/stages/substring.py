@@ -13,8 +13,10 @@ Composite two-path design, each path's partitioning assumption explicit:
 - **cross-partition window path**: winnowing fingerprints (text/winnow.py)
   of every doc are shuffled on fingerprint; any exact common run of
   >= w + g - 1 bytes between ANY two docs shares a selected fingerprint
-  regardless of partitioning.  Colliding windows are verified by raw byte
-  equality (the window travels with its fingerprint) and every occurrence
+  regardless of partitioning.  Colliding windows are confirmed by a second
+  INDEPENDENT 64-bit rolling hash (joint false-match ~2^-128 — below the
+  engine's accepted content-hash collision budget, stages/dedup.py; raw
+  bytes would multiply the shuffle row ~4x) and every occurrence
   except the first (min doc_id, then min pos) becomes a w-byte span;
   overlapping/adjacent window spans merge downstream.  Resolution is window-
   granular rather than maximal-extent — the intra-partition path provides
@@ -33,7 +35,10 @@ import numpy as np
 import pyarrow as pa
 
 from elastiknn_ray.models.suffix_array import duplicate_spans, merge_spans
-from elastiknn_ray.text.winnow import winnow_fingerprints
+from elastiknn_ray.text.winnow import (
+    winnow_fingerprints,
+    winnow_fingerprints_pair,
+)
 
 
 @dataclass(frozen=True)
@@ -188,81 +193,45 @@ def intra_partition_spans(
 # ---------------------------------------------------------------- cross path
 
 def _fingerprint_batch(t: pa.Table, w: int, g: int) -> pa.Table:
+    """Fingerprint rows for the cross-path shuffle: (fp, doc_id, pos, fp2).
+
+    Window equality is confirmed by TWO independent 64-bit rolling hashes
+    instead of shipping the raw w-byte window with every fingerprint (the
+    r4 shape): equal windows always agree on both; distinct windows agree
+    on both w.p. ~2^-128 — far below the engine's accepted 64-bit
+    content-hash collision budget (stages/dedup.py) — and the shuffle row
+    shrinks from 88+w bytes to 32."""
     ids = t.column("doc_id").to_numpy(zero_copy_only=False)
     texts = [x.encode("utf-8") if x is not None else b"" for x in t.column("text").to_pylist()]
-    row_ix, pos, fp = winnow_fingerprints(texts, w, g)
-    # Gather the w-byte windows as one (N, w) matrix — sliding-window views
-    # per text + fancy-index gather, then a single from_buffers large_binary
-    # build (uniform offsets).  No per-fingerprint Python slicing: the old
-    # list-comprehension form was ~1 Python slice per ~(guard/2) corpus
-    # bytes — the hot allocation of the whole cross path.
-    n = len(row_ix)
-    mat = np.empty((n, w), dtype=np.uint8)
-    run_starts = np.flatnonzero(np.r_[True, row_ix[1:] != row_ix[:-1]])
-    run_ends = np.r_[run_starts[1:], n]
-    for a, b in zip(run_starts, run_ends):  # one iteration per DOC with fps
-        s = np.frombuffer(texts[row_ix[a]], dtype=np.uint8)
-        mat[a:b] = np.lib.stride_tricks.sliding_window_view(s, w)[pos[a:b]]
-    offsets = np.arange(n + 1, dtype=np.int64) * w
-    win_arr = pa.Array.from_buffers(
-        pa.large_binary(),
-        n,
-        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(mat.tobytes())],
-    )
+    row_ix, pos, fp, fp2 = winnow_fingerprints_pair(texts, w, g)
     return pa.table(
         {
             "fp": pa.array(fp, pa.uint64()),
             "doc_id": pa.array(ids[row_ix], pa.int64()),
             "pos": pa.array(pos, pa.int64()),
-            "win": win_arr,
+            "fp2": pa.array(fp2, pa.uint64()),
         }
     )
 
 
 def _window_dups_kernel(t: pa.Table, w: int) -> pa.Table:
-    """Within one fingerprint partition: group by (fp, window bytes); every
-    occurrence except the (min doc_id, min pos) first emits a w-byte span.
+    """Within one fingerprint partition: group by (fp, fp2) — double-hash
+    window identity (see :func:`_fingerprint_batch`); every occurrence
+    except the (min doc_id, min pos) first emits a w-byte span.
 
-    Fully vectorized (VERDICT r2 #1): windows are all exactly ``w`` bytes
-    (winnowing never selects a position past len-w), so the large_binary
-    column is one flat (N, w) uint8 matrix — viewed as big-endian uint64
-    lanes whose lane-sequence order IS bytewise lexicographic order.  One
-    lexsort over (pos, ids, lanes..., fp) gives the grouped order; group
-    boundaries are fp-or-lane changes.  No Python tuples, no factorize."""
+    One lexsort over (pos, ids, fp2, fp) gives the grouped order; group
+    boundaries are fp-or-fp2 changes.  No Python tuples, no factorize."""
     ids = t.column("doc_id").to_numpy(zero_copy_only=False)
     n = len(ids)
     if n == 0:
-        return pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "start": pa.array([], pa.int64()),
-                "end": pa.array([], pa.int64()),
-            }
-        )
+        return _EMPTY_SPANS
     fp = t.column("fp").to_numpy(zero_copy_only=False)
+    fp2 = t.column("fp2").to_numpy(zero_copy_only=False)
     pos = t.column("pos").to_numpy(zero_copy_only=False)
-    win = t.column("win")
-    if isinstance(win, pa.ChunkedArray):
-        win = win.combine_chunks()
-    off = np.frombuffer(win.buffers()[1], dtype=np.int64)[
-        win.offset : win.offset + n + 1
-    ]
-    assert np.all(np.diff(off) == w), "winnowed windows must be exactly w bytes"
-    data = np.frombuffer(win.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
-    mat = data.reshape(n, w)
-    wp = ((w + 7) // 8) * 8
-    if wp != w:  # pad to a whole number of u64 lanes (zero bytes sort first,
-        padded = np.zeros((n, wp), dtype=np.uint8)  # identical for all rows)
-        padded[:, :w] = mat
-        mat = padded
-    lanes = np.ascontiguousarray(mat).view(np.dtype(">u8"))  # (n, wp//8)
-    keys = (pos, ids) + tuple(lanes[:, j] for j in range(lanes.shape[1] - 1, -1, -1)) + (fp,)
-    order = np.lexsort(keys)
+    order = np.lexsort((pos, ids, fp2, fp))
     fs = fp[order]
-    ls = lanes[order]
-    first = np.r_[
-        True, (fs[1:] != fs[:-1]) | (ls[1:] != ls[:-1]).any(axis=1)
-    ]
+    f2s = fp2[order]
+    first = np.r_[True, (fs[1:] != fs[:-1]) | (f2s[1:] != f2s[:-1])]
     # every later occurrence of the same window content is a duplicate span,
     # including within one doc.
     dup = ~first

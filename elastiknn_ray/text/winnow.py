@@ -19,6 +19,10 @@ import numpy as np
 
 _U64 = np.uint64
 _B = _U64(0x9E3779B97F4A7C16 | 1)  # odd => invertible mod 2^64
+#: Independent second base for the collision-confirmation hash (the cross
+#: path ships (fp, fp2) instead of raw window bytes — equal windows always
+#: agree on both; distinct windows agree on both w.p. ~2^-128).
+_B2 = _U64(0xC2B2AE3D27D4EB4F | 1)
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -36,7 +40,6 @@ def _modinv_pow2(b: int) -> int:
     return x
 
 
-_B_INV = _U64(_modinv_pow2(int(_B)))
 
 
 #: Chunk length for the blocked rolling-hash evaluation.  The window hash is
@@ -45,18 +48,20 @@ _B_INV = _U64(_modinv_pow2(int(_B)))
 #: chunking keeps the ~5 uint64 temporaries L2-resident and lets the power
 #: tables be computed once per process instead of once per call.
 _CHUNK = 1 << 17
-_TABLES: tuple[np.ndarray, np.ndarray] | None = None  # (pows, inv), len _CHUNK+1
+#: per-base (pows, inv) tables of len _CHUNK+1, keyed by the base value
+_TABLES: dict = {}
 
 
-def _power_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
-    """pows[j] = B^j, inv[j] = B^-j (mod 2^64) for j <= n; cached for the
-    chunk size, computed ad hoc for rare larger-than-chunk direct calls."""
-    global _TABLES
+def _power_tables(n: int, base: np.uint64 = _B) -> tuple[np.ndarray, np.ndarray]:
+    """pows[j] = base^j, inv[j] = base^-j (mod 2^64) for j <= n; cached for
+    the chunk size, computed ad hoc for rare larger-than-chunk calls."""
+    inv_b = _U64(_modinv_pow2(int(base)))
     if n <= _CHUNK:
-        if _TABLES is None:
-            _TABLES = (_powser(_B, _CHUNK), _powser(_B_INV, _CHUNK))
-        return _TABLES
-    return _powser(_B, n), _powser(_B_INV, n)
+        key = int(base)
+        if key not in _TABLES:
+            _TABLES[key] = (_powser(base, _CHUNK), _powser(inv_b, _CHUNK))
+        return _TABLES[key]
+    return _powser(base, n), _powser(inv_b, n)
 
 
 def _powser(b: np.uint64, n: int) -> np.ndarray:
@@ -68,17 +73,17 @@ def _powser(b: np.uint64, n: int) -> np.ndarray:
     return p
 
 
-def _rolling_hashes_direct(s: np.ndarray, w: int) -> np.ndarray:
+def _rolling_hashes_direct(s: np.ndarray, w: int, base: np.uint64 = _B) -> np.ndarray:
     n = len(s)
     nwin = n - w + 1
-    pows, inv = _power_tables(n)
+    pows, inv = _power_tables(n, base)
     c = np.zeros(n + 1, dtype=np.uint64)
     np.cumsum(s.astype(np.uint64) * inv[:n], out=c[1:])
     h = (c[w : n + 1] - c[:nwin]) * pows[w - 1 : n]
     return _splitmix64(h)
 
 
-def rolling_hashes(s: np.ndarray, w: int) -> np.ndarray:
+def rolling_hashes(s: np.ndarray, w: int, base: np.uint64 = _B) -> np.ndarray:
     """uint64 Rabin-Karp hash of every w-byte window of uint8 array s
     (len(s) - w + 1 hashes), diffused with splitmix64.  Large inputs are
     evaluated in w-overlapped chunks (bit-identical: the hash is
@@ -87,14 +92,30 @@ def rolling_hashes(s: np.ndarray, w: int) -> np.ndarray:
     if n < w:
         return np.empty(0, dtype=np.uint64)
     if n <= _CHUNK or w > _CHUNK // 2:
-        return _rolling_hashes_direct(s, w)
+        return _rolling_hashes_direct(s, w, base)
     nwin = n - w + 1
     out = np.empty(nwin, dtype=np.uint64)
     step = _CHUNK - w + 1
     for start in range(0, nwin, step):
         stop = min(start + step, nwin)
-        out[start:stop] = _rolling_hashes_direct(s[start : stop + w - 1], w)
+        out[start:stop] = _rolling_hashes_direct(s[start : stop + w - 1], w, base)
     return out
+
+
+def rolling_hashes_at(
+    s: np.ndarray, w: int, positions: np.ndarray, base: np.uint64 = _B2
+) -> np.ndarray:
+    """The same window hash as :func:`rolling_hashes` under ``base``, but
+    evaluated ONLY at ``positions`` (ascending window starts) — one cumsum
+    over the text plus O(len(positions)) gathers, instead of hashing every
+    window."""
+    n = len(s)
+    pows, inv = _power_tables(n, base)
+    c = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(s.astype(np.uint64) * inv[:n], out=c[1:])
+    p = np.asarray(positions, dtype=np.int64)
+    h = (c[p + w] - c[p]) * pows[p + w - 1]
+    return _splitmix64(h)
 
 
 def winnow_select(h: np.ndarray, g: int) -> np.ndarray:
@@ -133,3 +154,32 @@ def winnow_fingerprints(
             np.empty(0, np.uint64),
         )
     return np.concatenate(rows), np.concatenate(poss), np.concatenate(fps)
+
+
+def winnow_fingerprints_pair(
+    texts: list[bytes], w: int, g: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Like :func:`winnow_fingerprints` (selection driven by the PRIMARY
+    hash, so positions are identical), plus an independent confirmation
+    hash of the same windows under base ``_B2``.  Two windows are equal
+    iff both 64-bit values agree, up to a ~2^-128 joint collision — the
+    cross path's replacement for shipping raw window bytes."""
+    rows, poss, fps, fp2s = [], [], [], []
+    for i, t in enumerate(texts):
+        s = np.frombuffer(t, dtype=np.uint8)
+        h = rolling_hashes(s, w)
+        sel = winnow_select(h, g)
+        if len(sel):
+            rows.append(np.full(len(sel), i, dtype=np.int64))
+            poss.append(sel)
+            fps.append(h[sel])
+            fp2s.append(rolling_hashes_at(s, w, sel))
+    if not rows:
+        e = np.empty(0, np.uint64)
+        return np.empty(0, np.int64), np.empty(0, np.int64), e, e
+    return (
+        np.concatenate(rows),
+        np.concatenate(poss),
+        np.concatenate(fps),
+        np.concatenate(fp2s),
+    )
