@@ -610,11 +610,14 @@ class BandIndex:
         self.lsh = lsh
         self.vec_refs = vec_refs
         self.metric = metric
-        #: ObjectRef to the ONE gathered (sorted ids, re-score matrix) pair,
-        #: built by a single build-time task — readers map it zero-copy from
-        #: the object store instead of each re-gathering and re-sorting the
-        #: corpus (N workers x full-corpus vstack+argsort was the dominant
-        #: first-query cost)
+        #: ObjectRef to (shard_start_ids, [shard refs]) — the id-sorted
+        #: re-score matrix built ONCE by a build-time task and sharded by
+        #: id range (~64 MB/shard); readers fetch only the shards their
+        #: candidates hit, zero-copy from the object store, instead of
+        #: each re-gathering and re-sorting the corpus (N workers x
+        #: full-corpus vstack+argsort was the dominant first-query cost;
+        #: the pre-r5 single whole-corpus object pinned the full matrix
+        #: on every reading node)
         self.sorted_vec_ref = sorted_vec_ref
 
 
@@ -731,11 +734,36 @@ def _sort_gathered(tables, metric: str) -> tuple[np.ndarray, np.ndarray]:
     return (ids[order], m[order])
 
 
+#: target plasma-object size for one rescore-matrix shard.  Small enough
+#: that a merge task resident set is ∝ the shards its candidates hit (not
+#: the corpus); large enough that a 60k x 784d f32 corpus is only ~3
+#: objects (negligible dispatch overhead at this scale).
+_RESCORE_SHARD_BYTES = 64 * 1024 * 1024
+
+
 @ray.remote(num_cpus=1)
-def _gather_sorted_task(vec_refs, metric: str) -> tuple[np.ndarray, np.ndarray]:
-    """One cluster-wide gather+sort of the stored vectors; the result object
-    is mapped zero-copy by every re-score worker."""
-    return _sort_gathered(ray.get(list(vec_refs)), metric)
+def _gather_sorted_task(vec_refs, metric: str):
+    """One cluster-wide gather+sort of the stored vectors, SHARDED by
+    contiguous id range: returns (shard_start_ids, [shard ObjectRefs]),
+    each shard an (ids slice, matrix slice) plasma object.  Merge tasks
+    fetch only the shards their candidate ids hit, so a node's resident
+    set is bounded by shards-touched rather than corpus size (the r4
+    single-object layout pinned the whole matrix on every reading node)."""
+    ids, mat = _sort_gathered(ray.get(list(vec_refs)), metric)
+    n = len(ids)
+    if n == 0:
+        return (np.full(1, np.iinfo(np.int64).min, np.int64), [ray.put((ids, mat))])
+    n_shards = max(1, min(n, -(-mat.nbytes // _RESCORE_SHARD_BYTES)))
+    bounds = np.linspace(0, n, n_shards + 1).astype(np.int64)
+    refs = [
+        ray.put((ids[s:e], np.ascontiguousarray(mat[s:e])))
+        for s, e in zip(bounds[:-1], bounds[1:])
+    ]
+    starts = ids[bounds[:-1]].copy()
+    # shard 0 catches everything from below (candidate ids always come
+    # from this corpus's postings, so this is belt-and-braces)
+    starts[0] = np.iinfo(np.int64).min
+    return (starts, refs)
 
 
 def _gathered_vectors(vec_refs, metric: str = "cosine") -> tuple[np.ndarray, np.ndarray]:
@@ -870,17 +898,27 @@ def _knn_lsh_indexed(
         order = np.lexsort((ni, -total, qi))
         keep = order[_within_runs(qi[order]) < candidates]
         qi, ni = qi[keep], ni[keep]
-        # exact re-score against the shared pre-sorted stored vectors
-        # (zero-copy plasma read; fallback re-gathers per worker process)
-        if sorted_ref is not None:
-            ids_s, mat = ray.get(sorted_ref)
-        else:
-            ids_s, mat = _gathered_vectors(vec_refs, metric)
         qd = ray.get(q_ref)
         q_sorted_ix = np.argsort(qd["ids"], kind="stable")
         qix = q_sorted_ix[np.searchsorted(qd["ids"][q_sorted_ix], qi)]
-        vix = np.searchsorted(ids_s, ni)
-        score = _rescore_gathered(qd["qm"], qix, mat, vix, metric)
+        # exact re-score against the shared pre-sorted stored vectors —
+        # sharded by id range: fetch ONLY the shards the candidates hit
+        # (zero-copy plasma reads; fallback re-gathers per worker process).
+        # Scores are row-independent, so per-shard evaluation scattered
+        # back through the mask is bit-identical to the single-matrix path.
+        if sorted_ref is not None:
+            starts, shard_refs = ray.get(sorted_ref)
+            shard_of = np.searchsorted(starts, ni, side="right") - 1
+            score = np.empty(len(ni), np.float64)
+            for sh in np.unique(shard_of):
+                m = shard_of == sh
+                ids_s, mat = ray.get(shard_refs[sh])
+                vix = np.searchsorted(ids_s, ni[m])
+                score[m] = _rescore_gathered(qd["qm"], qix[m], mat, vix, metric)
+        else:
+            ids_s, mat = _gathered_vectors(vec_refs, metric)
+            vix = np.searchsorted(ids_s, ni)
+            score = _rescore_gathered(qd["qm"], qix, mat, vix, metric)
         # self-exclusion + per-query top-k with (score desc, neighbor) ties
         m = ni != qi
         qi, ni, score = qi[m], ni[m], score[m]

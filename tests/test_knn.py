@@ -669,3 +669,38 @@ def test_partial_cut_sums_split_runs_within_block(ray_session):
             100: 4,
             11: 1,
         }, flag
+
+
+def test_sharded_rescore_matrix_matches_fallback(ray_session, monkeypatch):
+    """The r5 sharded rescore-matrix layout (_gather_sorted_task returns
+    (shard_start_ids, [shard refs]); merge tasks fetch only hit shards)
+    must be bit-identical to the unsharded per-worker gather fallback.
+    Force MANY shards by shrinking the shard byte budget so the
+    multi-shard dispatch path is actually exercised at test scale."""
+    import pandas as pd
+    import ray
+
+    from elastiknn_ray.config import CosineLshConfig
+    from elastiknn_ray.stages import knn as knn_mod
+    from elastiknn_ray.stages.knn import build_cosine_band_index, knn_lsh_cosine
+
+    monkeypatch.setattr(knn_mod, "_RESCORE_SHARD_BYTES", 4096)  # ~30 shards
+    emb, m = _emb_ds(n=600)
+    q = {"ids": np.arange(12, dtype=np.int64), "matrix": m[:12].astype(np.float64)}
+    lsh = CosineLshConfig(dims=32, L=16, k=6, seed=0)
+    index = build_cosine_band_index(emb, lsh, num_blocks=4)
+    starts, refs = ray.get(index.sorted_vec_ref)
+    assert len(refs) > 4, "shard budget patch did not take effect"
+    sharded = knn_lsh_cosine(
+        emb, q, k=5, candidates=60, corpus_bands=index
+    ).to_pandas()
+    # fallback path: same index without the sharded ref
+    index.sorted_vec_ref = None
+    fallback = knn_lsh_cosine(
+        emb, q, k=5, candidates=60, corpus_bands=index
+    ).to_pandas()
+
+    def canon(df):
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(sharded), canon(fallback))
