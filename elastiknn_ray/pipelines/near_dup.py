@@ -178,3 +178,72 @@ def simhash_near_dup_pipeline(
     )
     clusters = connected_components(edges)
     return NearDupResult(signatures=sigs, pairs=verified, clusters=clusters)
+
+
+def image_near_dup_pipeline(
+    images,
+    *,
+    lsh=None,
+    tau: float = 0.84375,
+    hot_band_cap: int = 256,
+    num_partitions: int = 8,
+    hash_concurrency=(1, 16),
+) -> NearDupResult:
+    """Perceptual-hash image near-dup: the multimodal analogue of the text
+    flagship, reusing the Hamming machinery end-to-end.
+
+        images(image_id, image binary)
+          → ImagePerceptualHashStage (actor pool): 64-bit dHash (+ pHash)
+          → bit-sampling bands       [same stage as SimHash text path]
+          → candidate pairs          [same salted shuffle]
+          → exact packed-Hamming verify (>= tau)
+          → union-find clusters
+
+    Default operating point: L=16 tables x k=8 sampled bits over the 64-bit
+    dHash.  A true near-dup image (brightness shift / re-encode noise /
+    re-scale) lands within ~8 bits of its original (pinned in
+    tests/test_multimodal.py), where per-table collision p = C(56,8)/C(64,8)
+    ≈ 0.34 → candidate recall 1-(1-p)^16 ≈ 0.999; tau=0.84375 accepts
+    pairs within 10 bits, while unrelated images sit ≥ ~19 bits apart.
+    k=8 means only 256 buckets per table — fine because the hot-band cap +
+    star connectivity (stages/pairs.py) already bounds dense buckets; at
+    web scale raise k and L together to keep recall at the same tau.
+    """
+    from elastiknn_ray.config import HammingLshConfig
+    from elastiknn_ray.stages.multimodal import ImagePerceptualHashStage
+    from elastiknn_ray.stages.simhash import bitsample_bands_fn, verify_hamming_pairs
+
+    lsh = lsh or HammingLshConfig(dims=64, L=16, k=8)
+    try:
+        in_bytes = images.size_bytes()
+    except Exception:
+        in_bytes = None
+    sigs = _pin_or_spill(
+        images.map_batches(
+            ImagePerceptualHashStage,
+            batch_format="pyarrow",
+            batch_size=64,  # image payloads dominate batch bytes
+            concurrency=hash_concurrency,
+        ),
+        # 16 bytes of hash per image: far below the raw corpus size
+        None if in_bytes is None else in_bytes / 64,
+        "image_sigs",
+    )
+    bands = sigs.map_batches(
+        bitsample_bands_fn,
+        fn_kwargs={"lsh": lsh},
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    cands = candidate_pairs(bands, hot_band_cap)
+    verified = verify_hamming_pairs(
+        cands, sigs, lsh.dims, tau, num_partitions=num_partitions
+    )
+    verified = _pin_or_spill(
+        verified, None if in_bytes is None else in_bytes / 64, "image_verified"
+    )
+    edges = verified.select_columns(["doc_a", "doc_b"]).rename_columns(
+        {"doc_a": "u", "doc_b": "v"}
+    )
+    clusters = connected_components(edges)
+    return NearDupResult(signatures=sigs, pairs=verified, clusters=clusters)

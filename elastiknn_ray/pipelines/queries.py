@@ -1106,6 +1106,25 @@ def q_audio_chunks(sf_dir: str):
     return out.select_columns(["audio_id", "chunk_ix"])
 
 
+def q_image_dhash_dups(sf_dir: str):
+    """Perceptual-hash (dHash) image near-dup pairs over a planted synthetic
+    corpus (rows-only driver check; ``sf_dir`` unused — no SQL oracle can
+    decode images, but the planted ground-truth recall/precision is pinned
+    in tests/test_multimodal.py).  Reuses the Hamming LSH → salted pair
+    shuffle → exact packed-Hamming verify path end-to-end
+    (pipelines/near_dup.py image_near_dup_pipeline)."""
+    import ray.data as rd
+
+    from elastiknn_ray.pipelines.near_dup import image_near_dup_pipeline
+    from elastiknn_ray.stages.multimodal import fake_images_with_dups
+
+    ds = rd.from_arrow(fake_images_with_dups(40, dups_per_base=3, seed=21))
+    res = image_near_dup_pipeline(ds, hash_concurrency=(1, 4))
+    return res.pairs.select_columns(["doc_a", "doc_b", "hamming"]).sort(
+        ["doc_a", "doc_b"]
+    )
+
+
 # ---------------------------------------------------------------- events
 
 def q_events_first_by_user_type(sf_dir: str):
@@ -1464,6 +1483,7 @@ QUERIES = {
     "image_features": q_image_features,
     "audio_chunks": q_audio_chunks,
     "video_frames": q_video_frames,
+    "image_dhash_dups": q_image_dhash_dups,
 }
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"

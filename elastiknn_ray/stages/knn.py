@@ -673,7 +673,7 @@ def _build_band_index(embeddings, lsh, bands_fn, metric, num_blocks) -> BandInde
     vec_refs = emb.to_arrow_refs()
     # gather/sort/normalize the stored vectors ONCE, off-driver; the ref
     # resolves lazily so the build does not block on it
-    sorted_ref = _gather_sorted_task.remote(vec_refs, metric)
+    sorted_ref = _gather_sorted_task.remote(vec_refs, metric, _RESCORE_SHARD_BYTES)
     return BandIndex(
         bands=bands, lsh=lsh, vec_refs=vec_refs, metric=metric,
         sorted_vec_ref=sorted_ref,
@@ -742,18 +742,21 @@ _RESCORE_SHARD_BYTES = 64 * 1024 * 1024
 
 
 @ray.remote(num_cpus=1)
-def _gather_sorted_task(vec_refs, metric: str):
+def _gather_sorted_task(vec_refs, metric: str, shard_bytes: int):
     """One cluster-wide gather+sort of the stored vectors, SHARDED by
     contiguous id range: returns (shard_start_ids, [shard ObjectRefs]),
     each shard an (ids slice, matrix slice) plasma object.  Merge tasks
     fetch only the shards their candidate ids hit, so a node's resident
     set is bounded by shards-touched rather than corpus size (the r4
-    single-object layout pinned the whole matrix on every reading node)."""
+    single-object layout pinned the whole matrix on every reading node).
+    ``shard_bytes`` is passed from the DRIVER (not read from this module's
+    globals) — a remote function's globals are frozen at first export, so a
+    module-level read here would ignore later driver-side changes."""
     ids, mat = _sort_gathered(ray.get(list(vec_refs)), metric)
     n = len(ids)
     if n == 0:
         return (np.full(1, np.iinfo(np.int64).min, np.int64), [ray.put((ids, mat))])
-    n_shards = max(1, min(n, -(-mat.nbytes // _RESCORE_SHARD_BYTES)))
+    n_shards = max(1, min(n, -(-mat.nbytes // shard_bytes)))
     bounds = np.linspace(0, n, n_shards + 1).astype(np.int64)
     refs = [
         ray.put((ids[s:e], np.ascontiguousarray(mat[s:e])))

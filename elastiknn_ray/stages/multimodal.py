@@ -309,3 +309,197 @@ def fake_videos_table(n: int, seed: int = 0) -> pa.Table:
     return pa.table(
         {"video_id": pa.array(ids, pa.int64()), "video": pa.array(bufs, pa.binary())}
     )
+
+
+# -------------------------------------------------- perceptual image hashing
+#
+# The multimodal analogue of the text near-dup story: a 64-bit perceptual
+# hash per image feeds the EXISTING Hamming machinery unchanged
+# (stages/simhash.py knn_exact_hamming_sig / bitsample bands /
+# verify_hamming_pairs with dims=64) — the same read path that mirrors the
+# reference's bit-sampling LSH (HammingLshModel.java).  dHash (gradient
+# hash) is the cheap default; pHash (DCT low-frequency median hash) is the
+# rotation-of-the-same-idea second opinion.  Both are pure numpy — real,
+# not stubbed — everything upstream of them is the decode ladder above.
+
+
+def grayscale_f32(img: np.ndarray) -> np.ndarray:
+    """(H, W, C) uint8 → (H, W) float32 ITU-R BT.601 luma."""
+    if img.ndim == 2:
+        return img.astype(np.float32)
+    f = img.astype(np.float32)
+    if f.shape[2] == 1:
+        return f[:, :, 0]
+    return f[:, :, 0] * 0.299 + f[:, :, 1] * 0.587 + f[:, :, 2] * 0.114
+
+
+def _resize_area_f32(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Box/area downsample of a float32 (H, W) image — averaging (not
+    nearest) is what makes the perceptual hashes stable under the small
+    pixel-level perturbations a near-dup carries."""
+    h, w = img.shape
+    ye = (np.arange(out_h + 1) * h // out_h).astype(np.int64)
+    xe = (np.arange(out_w + 1) * w // out_w).astype(np.int64)
+    # integral image → O(1) per output cell box sum
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = img.cumsum(axis=0).cumsum(axis=1)
+    ys, yl = ye[:-1], ye[1:]
+    xs, xl = xe[:-1], xe[1:]
+    # upsampling (out > in) would create zero-area boxes → clamp each box to
+    # cover at least one source pixel (nearest-pixel semantics there)
+    ys = np.minimum(ys, h - 1)
+    xs = np.minimum(xs, w - 1)
+    yl = np.maximum(yl, ys + 1)
+    xl = np.maximum(xl, xs + 1)
+    box = (
+        ii[yl[:, None], xl[None, :]]
+        - ii[ys[:, None], xl[None, :]]
+        - ii[yl[:, None], xs[None, :]]
+        + ii[ys[:, None], xs[None, :]]
+    )
+    area = (yl - ys)[:, None] * (xl - xs)[None, :]
+    return (box / area).astype(np.float32)
+
+
+def _pack_bits64(bits: np.ndarray) -> np.uint64:
+    """64 booleans (row-major) → one uint64, bit 0 = first bool."""
+    b = np.asarray(bits, dtype=np.uint8).reshape(64)
+    return np.uint64(np.packbits(b, bitorder="little").view(np.uint64)[0])
+
+
+def dhash64(img: np.ndarray) -> np.uint64:
+    """Difference hash: 9x8 area-resized luma, bit = left pixel > right
+    pixel along each row — 64 horizontal-gradient signs.  Robust to
+    brightness shift (gradient signs are shift-invariant) and to re-encode
+    noise (area averaging)."""
+    g = _resize_area_f32(grayscale_f32(img), 8, 9)
+    return _pack_bits64(g[:, :-1] > g[:, 1:])
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n, n), cached."""
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        k = np.arange(n)[:, None]
+        j = np.arange(n)[None, :]
+        m = np.cos(np.pi * (2 * j + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        m[0] /= np.sqrt(2.0)
+        _DCT32 = m
+    return _DCT32
+
+
+def phash64(img: np.ndarray) -> np.uint64:
+    """DCT perceptual hash: 32x32 area-resized luma → 2-D DCT-II → top-left
+    8x8 low-frequency block → bit = coefficient > median (DC term excluded
+    from the median so flat images don't flip half their bits on noise)."""
+    g = _resize_area_f32(grayscale_f32(img), 32, 32).astype(np.float64)
+    m = _dct_matrix(32)
+    coef = (m @ g @ m.T)[:8, :8].copy()
+    flat = coef.reshape(64)
+    med = np.median(flat[1:])
+    return _pack_bits64(flat > med)
+
+
+class ImagePerceptualHashStage:
+    """Actor-pool stage: (image_id, image binary) → (doc_id, simhash,
+    phash) where ``simhash`` is the 8-byte packed dHash and ``phash`` the
+    8-byte packed pHash — column names chosen so the output drops straight
+    into the Hamming kNN/LSH/verify path (stages/simhash.py) with dims=64.
+
+    Decode state initializes once per actor; run with a SMALL batch_size
+    (image payloads dominate batch bytes, same sizing note as
+    ImageDecodeStage)."""
+
+    def __init__(self):
+        _dct_matrix(32)  # build the DCT basis once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from elastiknn_ray.stages.simhash import encode_sigs
+
+        ids = batch.column("image_id").to_numpy()
+        n = len(ids)
+        dh = np.empty((n, 1), dtype=np.uint64)
+        ph = np.empty((n, 1), dtype=np.uint64)
+        for i, buf in enumerate(batch.column("image").to_pylist()):
+            img = decode_image(buf)
+            dh[i, 0] = dhash64(img)
+            ph[i, 0] = phash64(img)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "simhash": encode_sigs(dh),
+                "phash": encode_sigs(ph),
+            }
+        )
+
+
+def fake_images_with_dups(
+    n_base: int, dups_per_base: int = 2, seed: int = 0
+) -> pa.Table:
+    """Deterministic planted near-dup image corpus.
+
+    Base images are LOW-FREQUENCY (random 8x8 upsampled bilinearly to
+    ~64x64 — web thumbnails, logos, screenshots are smooth at hash scale;
+    pure per-pixel noise has no perceptual identity for ANY perceptual
+    hash).  Each base gets ``dups_per_base`` perturbed variants: brightness
+    shift, mild additive noise, or a re-scale — the transformations a
+    near-dup image actually survives on the web.  image_id = base*1000+v
+    (v=0 is the original), so tests recover ground truth from the id.
+    """
+    rows_id, rows_img, fmts, hs, ws = [], [], [], [], []
+    for b in range(n_base):
+        rng = np.random.default_rng((seed, b, 0xD0))
+        h = int(rng.integers(48, 80))
+        w = int(rng.integers(48, 80))
+        lo = rng.uniform(0, 255, (8, 8, 3))
+        # bilinear upsample via two 1-D interps
+        yi = np.linspace(0, 7, h)
+        xi = np.linspace(0, 7, w)
+        y0 = np.clip(yi.astype(np.int64), 0, 6)
+        x0 = np.clip(xi.astype(np.int64), 0, 6)
+        fy = (yi - y0)[:, None, None]
+        fx = (xi - x0)[None, :, None]
+        a = lo[y0][:, x0]
+        bx = lo[y0][:, x0 + 1]
+        c = lo[y0 + 1][:, x0]
+        d = lo[y0 + 1][:, x0 + 1]
+        base = (
+            a * (1 - fy) * (1 - fx) + bx * (1 - fy) * fx + c * fy * (1 - fx) + d * fy * fx
+        )
+        variants = [np.clip(base, 0, 255).astype(np.uint8)]
+        for v in range(dups_per_base):
+            kind = v % 3
+            if kind == 0:  # brightness shift
+                pert = base + rng.uniform(-24, 24)
+            elif kind == 1:  # mild noise
+                pert = base + rng.normal(0, 4.0, base.shape)
+            else:  # re-scale (crop-free resize; beyond ~±30% a rescale
+                # stops being a near-dup at 64-bit hash granularity)
+                sh = max(16, int(h * rng.uniform(0.72, 1.3)))
+                sw = max(16, int(w * rng.uniform(0.72, 1.3)))
+                pert = resize_nearest(np.clip(base, 0, 255).astype(np.uint8), sh, sw)
+            variants.append(np.clip(pert, 0, 255).astype(np.uint8))
+        for v, px in enumerate(variants):
+            rows_id.append(b * 1000 + v)
+            if (b + v) % 3 == 0:
+                from elastiknn_ray.stages.codecs import png_encode
+
+                rows_img.append(png_encode(px))
+                fmts.append("png")
+            else:
+                rows_img.append(encode_fake_image(px.shape[0], px.shape[1], 3, px))
+                fmts.append("fake")
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+    return pa.table(
+        {
+            "image_id": pa.array(rows_id, pa.int64()),
+            "image": pa.array(rows_img, pa.binary()),
+            "fmt": pa.array(fmts, pa.string()),
+            "height": pa.array(hs, pa.int32()),
+            "width": pa.array(ws, pa.int32()),
+        }
+    )

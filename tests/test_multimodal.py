@@ -287,3 +287,114 @@ def test_video_frame_sample_stage(ray_session):
         expect = len(sample_frame_indices(n, 5, 4))
         assert (out["video_id"] == vid).sum() == expect, vid
     assert len(out["embedding"].iloc[0]) == 2 * 2 * 3
+
+
+# -------------------------------------------------- perceptual image hashing
+
+
+def test_dhash_phash_determinism_and_invariances():
+    from elastiknn_ray.stages.multimodal import dhash64, fake_images_with_dups, phash64
+
+    t = fake_images_with_dups(6, dups_per_base=2, seed=3)
+    imgs = [decode_image(b) for b in t.column("image").to_pylist()]
+    h1 = [int(dhash64(i)) for i in imgs]
+    h2 = [int(dhash64(i)) for i in imgs]
+    assert h1 == h2  # bit-for-bit deterministic
+    # brightness shift leaves gradient signs (dHash bits) nearly unchanged
+    base = imgs[0]
+    shifted = np.clip(base.astype(np.int32) + 30, 0, 255).astype(np.uint8)
+    assert bin(int(dhash64(base)) ^ int(dhash64(shifted))).count("1") <= 2
+    assert bin(int(phash64(base)) ^ int(phash64(shifted))).count("1") <= 4
+    # a 2x nearest upscale is (near-)hash-invariant under area resampling
+    up = resize_nearest(base, base.shape[0] * 2, base.shape[1] * 2)
+    assert bin(int(dhash64(base)) ^ int(dhash64(up))).count("1") <= 4
+
+
+def test_planted_image_dup_separation():
+    """The planted corpus must be separable at the pipeline's default tau:
+    every variant within 10 bits of its base, every cross-base pair beyond."""
+    from elastiknn_ray.stages.multimodal import dhash64, fake_images_with_dups
+
+    t = fake_images_with_dups(25, dups_per_base=3, seed=21)
+    hashes = {
+        iid: int(dhash64(decode_image(buf)))
+        for iid, buf in zip(
+            t.column("image_id").to_pylist(), t.column("image").to_pylist()
+        )
+    }
+    for iid, h in hashes.items():
+        if iid % 1000 == 0:
+            continue
+        assert bin(h ^ hashes[(iid // 1000) * 1000]).count("1") <= 10, iid
+    bases = {k: v for k, v in hashes.items() if k % 1000 == 0}
+    ks = sorted(bases)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1 :]:
+            assert bin(bases[a] ^ bases[b]).count("1") > 12, (a, b)
+
+
+def test_image_near_dup_pipeline_recall_precision(ray_session):
+    """End-to-end perceptual near-dup: planted (base, variant) groups must
+    come back as clusters — recall 1.0 on planted pairs, zero cross-base
+    merges (the multimodal analogue of the text flagship's recall pin)."""
+    import ray.data as rd
+
+    from elastiknn_ray.pipelines.near_dup import image_near_dup_pipeline
+    from elastiknn_ray.stages.multimodal import fake_images_with_dups
+
+    t = fake_images_with_dups(25, dups_per_base=3, seed=21)
+    res = image_near_dup_pipeline(rd.from_arrow(t), hash_concurrency=(1, 2))
+    clusters = res.clusters.to_pandas()
+    cluster_of = dict(zip(clusters.doc_id, clusters.cluster_id))
+    planted = recovered = 0
+    for iid in t.column("image_id").to_pylist():
+        if iid % 1000 == 0:
+            continue
+        planted += 1
+        base = (iid // 1000) * 1000
+        if iid in cluster_of and cluster_of.get(base) == cluster_of[iid]:
+            recovered += 1
+    assert planted == 75
+    assert recovered / planted >= 0.99  # north-rule recall bar on pairs
+    # precision: no cluster may span two different base images
+    by_cluster = clusters.groupby("cluster_id")["doc_id"].apply(
+        lambda s: {int(x) // 1000 for x in s}
+    )
+    assert all(len(bs) == 1 for bs in by_cluster), "cross-base merge"
+    # the verified pair list carries exact Hamming similarity >= tau
+    pairs = res.pairs.to_pandas()
+    assert (pairs.hamming >= 0.84375 - 1e-12).all()
+
+
+def test_image_perceptual_hash_stage_schema(ray_session):
+    """Stage output drops into the Hamming path: (doc_id, simhash 8-byte
+    packed, phash 8-byte packed) and round-trips through decode_sigs."""
+    import ray.data as rd
+
+    from elastiknn_ray.stages.multimodal import (
+        ImagePerceptualHashStage,
+        dhash64,
+        fake_images_with_dups,
+    )
+    from elastiknn_ray.stages.simhash import decode_sigs
+
+    t = fake_images_with_dups(4, dups_per_base=1, seed=5)
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            ImagePerceptualHashStage,
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=(1, 2),
+        )
+        .sort("doc_id")
+        .to_pandas()
+    )
+    assert list(out.columns) == ["doc_id", "simhash", "phash"]
+    sig = decode_sigs(pa.array(list(out.simhash), pa.binary()))
+    assert sig.shape == (8, 1) and sig.dtype == np.uint64
+    want = [
+        int(dhash64(decode_image(b))) for b in t.column("image").to_pylist()
+    ]
+    got = [int(x[0]) for x in sig[np.argsort(out.doc_id.to_numpy())]]
+    assert sorted(got) == sorted(want)
