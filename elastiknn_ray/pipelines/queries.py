@@ -610,6 +610,18 @@ def q_substring_spans(sf_dir: str):
     return substring_spans(docs, SubstringConfig(num_partitions=8))
 
 
+def q_substring_spans_ext(sf_dir: str):
+    """Maximal-extent substring-duplicate spans (extended cross path: byte
+    extension of colliding windows to the exact common run; rows-only
+    driver check — extent oracles in tests/test_substring.py)."""
+    from elastiknn_ray.stages.substring import SubstringConfig, substring_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring_spans(
+        docs, SubstringConfig(num_partitions=8, extend_cross=True)
+    )
+
+
 def q_substring_dedup_docs(sf_dir: str):
     """Documents with duplicate substrings removed → (doc_id, n_chars_clean)
     integer summary (rows-only driver check)."""
@@ -1465,6 +1477,7 @@ QUERIES = {
     "lsh_dup_pairs": q_lsh_dup_pairs,
     "simhash_pairs": q_simhash_pairs,
     "substring_spans": q_substring_spans,
+    "substring_spans_ext": q_substring_spans_ext,
     "dedup_decisions": q_dedup_decisions,
     "emb_cosine_lsh_pairs": q_emb_cosine_lsh_pairs,
     "knn_jaccard_lsh": q_knn_jaccard_lsh,

@@ -63,6 +63,14 @@ class SubstringConfig:
     #: O(n log n) suffix sort over the whole blob.  Auto-disabled when the
     #: guarantee precondition fails.
     screen: bool = True
+    #: maximal-extent cross path: colliding windows keep their matched
+    #: first occurrence, a text join fetches the (dup-only) pair texts, and
+    #: local byte extension reports the exact maximal common run — the
+    #: combined threshold then applies ``min_len`` exactly instead of the
+    #: ``min_merged_len`` guard slack (window-granular boilerplate below
+    #: min_len no longer survives).  Off by default: the window-granular
+    #: path avoids the two text joins and is the pinned-fixture default.
+    extend_cross: bool = False
 
 
 def resolve_num_partitions(docs, cfg: SubstringConfig) -> int:
@@ -326,7 +334,11 @@ def substring_spans(docs, cfg: SubstringConfig | None = None):
         window=cfg.window if cfg.screen else 0,
         guard=cfg.guard if cfg.screen else 0,
     )
-    cross = cross_partition_window_spans(docs, cfg, p)
+    cross = (
+        cross_partition_extended_spans(docs, cfg, p)
+        if cfg.extend_cross
+        else cross_partition_window_spans(docs, cfg, p)
+    )
     both = intra.union(cross)
     keyed = both.map_batches(
         lambda t, p=p: t.append_column(
@@ -340,7 +352,9 @@ def substring_spans(docs, cfg: SubstringConfig | None = None):
     merged = keyed.groupby("part").map_groups(
         lambda t: _merge_per_doc(t.drop_columns(["part"])), batch_format="pyarrow"
     )
-    thresh = min_merged_len(cfg)
+    # extended cross extents are exact, so min_len applies directly; the
+    # window-granular default needs the min_merged_len guard slack
+    thresh = cfg.min_len if cfg.extend_cross else min_merged_len(cfg)
     return merged.map_batches(
         lambda t, th=thresh: t.filter(
             pa.compute.greater_equal(
@@ -475,3 +489,303 @@ def remove_spans(docs, spans, *, num_partitions: int = 8):
         return pa.table({"doc_id": t.column("doc_id"), "text": result})
 
     return joined.map_batches(cut, batch_format="pyarrow")
+
+
+# ------------------------------------- maximal-extent cross-partition path
+
+def _window_pairs_kernel(t: pa.Table) -> pa.Table:
+    """Like :func:`_window_dups_kernel` but keeps WHO matched: each later
+    occurrence pairs with its group's first (min doc_id, min pos) →
+    (doc_a, pos_a, doc_b, pos_b) with (doc_a, pos_a) the kept-first side.
+    Fully vectorized (group index by cumsum over the first-mask)."""
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    n = len(ids)
+    if n == 0:
+        return _EMPTY_PAIR_WINDOWS
+    fp = t.column("fp").to_numpy(zero_copy_only=False)
+    fp2 = t.column("fp2").to_numpy(zero_copy_only=False)
+    pos = t.column("pos").to_numpy(zero_copy_only=False)
+    order = np.lexsort((pos, ids, fp2, fp))
+    fs, f2s = fp[order], fp2[order]
+    first = np.r_[True, (fs[1:] != fs[:-1]) | (f2s[1:] != f2s[:-1])]
+    grp = np.cumsum(first) - 1
+    fi = np.flatnonzero(first)
+    ids_o, pos_o = ids[order], pos[order]
+    dup = ~first
+    return pa.table(
+        {
+            "doc_a": pa.array(ids_o[fi][grp[dup]], pa.int64()),
+            "pos_a": pa.array(pos_o[fi][grp[dup]], pa.int64()),
+            "doc_b": pa.array(ids_o[dup], pa.int64()),
+            "pos_b": pa.array(pos_o[dup], pa.int64()),
+        }
+    )
+
+
+_EMPTY_PAIR_WINDOWS = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "pos_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "pos_b": pa.array([], pa.int64()),
+    }
+)
+
+
+def _pack_pairs_kernel(t: pa.Table) -> pa.Table:
+    """One coarse pair-hash partition of (doc_a, pos_a, doc_b, pos_b) →
+    (doc_a, doc_b, windows) with all of an ordered doc pair's colliding
+    windows packed as interleaved (pos_a, pos_b) uint64 pairs, sorted by
+    (diagonal, pos_b) so the extension kernel streams them in run order.
+    Packing BEFORE the text join means each doc pair ships its texts once,
+    not once per colliding window (a long shared run selects ~run/guard
+    windows)."""
+    from elastiknn_ray.stages.hashing import encode_u64_lists
+
+    da = t.column("doc_a").to_numpy(zero_copy_only=False)
+    if len(da) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "windows": pa.array([], pa.large_binary()),
+            }
+        )
+    db = t.column("doc_b").to_numpy(zero_copy_only=False)
+    pa_ = t.column("pos_a").to_numpy(zero_copy_only=False)
+    pb_ = t.column("pos_b").to_numpy(zero_copy_only=False)
+    diag = pb_ - pa_
+    order = np.lexsort((pb_, diag, db, da))
+    da, db, pa_, pb_ = da[order], db[order], pa_[order], pb_[order]
+    first = np.r_[True, (da[1:] != da[:-1]) | (db[1:] != db[:-1])]
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.r_[starts, len(da)])
+    vals = np.empty(2 * len(da), dtype=np.uint64)
+    vals[0::2] = pa_.astype(np.uint64)
+    vals[1::2] = pb_.astype(np.uint64)
+    offsets = np.r_[0, np.cumsum(2 * counts)].astype(np.int64)
+    return pa.table(
+        {
+            "doc_a": pa.array(da[starts], pa.int64()),
+            "doc_b": pa.array(db[starts], pa.int64()),
+            "windows": encode_u64_lists(offsets, vals),
+        }
+    )
+
+
+def _common_prefix_len(x: np.ndarray, y: np.ndarray) -> int:
+    m = min(len(x), len(y))
+    if m == 0:
+        return 0
+    neq = x[:m] != y[:m]
+    ix = int(neq.argmax())
+    return m if not neq[ix] else ix
+
+
+def _extend_packed_batch(t: pa.Table, w: int) -> pa.Table:
+    """(doc_a, doc_b, windows, text_a, text_b) → maximal-extent spans for
+    the doc_b (kept-later) side: each seed window byte-verifies, then
+    extends left/right while the two texts agree.  Seeds already covered by
+    the previous extension on the same diagonal are skipped, so a run of R
+    bytes pays one O(R) extension, not one per selected window."""
+    from elastiknn_ray.stages.hashing import decode_u64_lists
+
+    n = t.num_rows
+    if n == 0:
+        return _EMPTY_SPANS
+    offsets, vals = decode_u64_lists(t.column("windows"))
+    db_col = t.column("doc_b").to_numpy(zero_copy_only=False)
+    ta_col = t.column("text_a").to_pylist()
+    tb_col = t.column("text_b").to_pylist()
+    out_i, out_s, out_e = [], [], []
+    for r in range(n):
+        seg = vals[offsets[r] : offsets[r + 1]]
+        pa_arr = seg[0::2].astype(np.int64)
+        pb_arr = seg[1::2].astype(np.int64)
+        ra, rb = ta_col[r] or b"", tb_col[r] or b""
+        a = np.frombuffer(ra.encode("utf-8") if isinstance(ra, str) else ra, np.uint8)
+        b = np.frombuffer(rb.encode("utf-8") if isinstance(rb, str) else rb, np.uint8)
+        diag = pb_arr - pa_arr
+        cov_diag, cov_end = None, -1
+        for j in range(len(pa_arr)):
+            pj, qj, dj = int(pa_arr[j]), int(pb_arr[j]), int(diag[j])
+            if dj == cov_diag and qj + w <= cov_end:
+                continue
+            # byte-verify the seed (the double rolling hash is identity
+            # w.p. 1-2^-128; this makes the extended span unconditionally
+            # true at the cost of w bytes per seed)
+            if not np.array_equal(a[pj : pj + w], b[qj : qj + w]):
+                continue
+            left = _common_prefix_len(a[pj - 1 :: -1] if pj else a[:0], b[qj - 1 :: -1] if qj else b[:0])
+            right = _common_prefix_len(a[pj + w :], b[qj + w :])
+            out_i.append(db_col[r])
+            out_s.append(qj - left)
+            out_e.append(qj + w + right)
+            cov_diag, cov_end = dj, qj + w + right
+    return pa.table(
+        {
+            "doc_id": pa.array(np.array(out_i, dtype=np.int64), pa.int64()),
+            "start": pa.array(np.array(out_s, dtype=np.int64), pa.int64()),
+            "end": pa.array(np.array(out_e, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+#: broadcast gate for the extension stage's text fetch: candidate-doc text
+#: volume up to this many bytes ships as ONE object-store copy (shuffle-free
+#: extension); above it, two hash joins move only the colliding docs' texts.
+EXTEND_BROADCAST_TEXT_BYTES = 2 << 30
+
+
+class _BroadcastExtend:
+    """Actor-pool extension: the colliding docs' texts gathered once into
+    the object store (shard refs), looked up by sorted-id searchsorted per
+    packed-pair batch — the same shape as verify's broadcast path."""
+
+    def __init__(self, shard_refs, w: int):
+        import ray
+
+        ids_parts, text_parts = [], []
+        for t in ray.get(list(shard_refs)):
+            ids_parts.append(t.column("doc_id").to_numpy(zero_copy_only=False))
+            text_parts.extend(
+                (x or "").encode("utf-8") for x in t.column("text").to_pylist()
+            )
+        ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+        order = np.argsort(ids, kind="stable")
+        self.ids = ids[order]
+        self.texts = [text_parts[i] for i in order]
+        self.w = w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_SPANS
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        ixa = np.searchsorted(self.ids, da)
+        ixb = np.searchsorted(self.ids, db)
+        if (self.ids[np.minimum(ixa, len(self.ids) - 1)] != da).any() or (
+            self.ids[np.minimum(ixb, len(self.ids) - 1)] != db
+        ).any():
+            raise KeyError("pair doc_ids missing from gathered texts")
+        with_texts = batch.append_column(
+            "text_a", pa.array([self.texts[i] for i in ixa], pa.large_binary())
+        ).append_column(
+            "text_b", pa.array([self.texts[i] for i in ixb], pa.large_binary())
+        )
+        return _extend_packed_batch(with_texts, self.w)
+
+
+def cross_partition_extended_spans(docs, cfg: SubstringConfig, num_partitions: int | None = None):
+    """docs → (doc_id, start, end) MAXIMAL-extent duplicate spans,
+    alignment-robust across any partitioning.
+
+    Same winnowing collision front as :func:`cross_partition_window_spans`,
+    then: colliding windows keep their matched first occurrence → packed
+    per ordered doc pair → the pair texts fetched (broadcast-gated: one
+    object-store copy of just the COLLIDING docs' texts below
+    EXTEND_BROADCAST_TEXT_BYTES, two hash joins above) → local byte
+    extension to the maximal common run.  Extents are exact, so the caller
+    can threshold at ``min_len`` directly (no ``min_merged_len`` guard
+    slack — window-granular boilerplate below min_len no longer survives,
+    and true runs report their full extent).
+
+    Partitioning assumptions: the pair-pack shuffle keys on a coarse hash
+    of the ordered doc pair (uniform); the text fetch moves only docs that
+    actually collide (banded ~O(dup docs), not corpus-sized).  The join
+    fallback requires a populated left side (Ray's hash-join builds empty
+    partitions schema-less); it only engages above the broadcast gate,
+    where every partition holds rows."""
+    p = num_partitions if num_partitions is not None else resolve_num_partitions(docs, cfg)
+    import ray.data as rd
+
+    fps = docs.map_batches(
+        lambda t, w=cfg.window, g=cfg.guard: _fingerprint_batch(t, w, g),
+        batch_format="pyarrow",
+    )
+    keyed = fps.map_batches(
+        lambda t, p=p: t.append_column(
+            "part",
+            pa.array(
+                t.column("fp").to_numpy(zero_copy_only=False) % np.uint64(p),
+                pa.uint64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = keyed.groupby("part").map_groups(
+        lambda t: _window_pairs_kernel(t.drop_columns(["part"])),
+        batch_format="pyarrow",
+    ).materialize()  # colliding-window pair rows: ~O(dup windows), small
+    if pairs.count() == 0:
+        return rd.from_arrow(_EMPTY_SPANS)
+
+    def _pair_part(t: pa.Table, p: int) -> pa.Table:
+        da = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        db = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (da * np.uint64(0x9E3779B97F4A7C15)) ^ db
+        return t.append_column("part", pa.array(mix % np.uint64(p), pa.uint64()))
+
+    packed = (
+        pairs.map_batches(lambda t, p=p: _pair_part(t, p), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda t: _pack_pairs_kernel(t.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    texts = docs.select_columns(["doc_id", "text"])
+
+    # ---- broadcast path: gather just the colliding docs' texts ----------
+    import ray
+
+    id_parts = [
+        np.concatenate(
+            [
+                b.column("doc_a").to_numpy(zero_copy_only=False),
+                b.column("doc_b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        for b in pairs.select_columns(["doc_a", "doc_b"]).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cand_ids = np.unique(np.concatenate(id_parts))
+    ids_ref = ray.put(cand_ids)
+
+    def filt(t: pa.Table, _ids_ref=ids_ref) -> pa.Table:
+        ids = ray.get(_ids_ref)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
+        return t.filter(pa.array(ids[pos] == d))
+
+    hits = texts.map_batches(filt, batch_format="pyarrow").materialize()
+    if hits.size_bytes() <= EXTEND_BROADCAST_TEXT_BYTES:
+        return packed.map_batches(
+            _BroadcastExtend,
+            fn_constructor_kwargs={
+                "shard_refs": hits.to_arrow_refs(),
+                "w": cfg.window,
+            },
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=(1, 32),
+        )
+
+    # ---- join fallback: above the gate, partitions are populated --------
+    jp = max(8, min(64, p))
+    ja = packed.join(
+        texts, join_type="inner", num_partitions=jp,
+        on=("doc_a",), right_on=("doc_id",),
+    ).rename_columns({"text": "text_a"}).select_columns(
+        ["doc_a", "doc_b", "windows", "text_a"]
+    )
+    jb = ja.join(
+        texts, join_type="inner", num_partitions=jp,
+        on=("doc_b",), right_on=("doc_id",),
+    ).rename_columns({"text": "text_b"}).select_columns(
+        ["doc_a", "doc_b", "windows", "text_a", "text_b"]
+    )
+    return jb.map_batches(
+        lambda t, w=cfg.window: _extend_packed_batch(t, w), batch_format="pyarrow"
+    )

@@ -224,3 +224,162 @@ def test_winnow_screen_is_lossless(ray_session):
     )
     ds = rd.from_arrow(uniq)
     assert substring_spans(ds, SubstringConfig(**base, screen=True)).count() == 0
+
+
+# --------------------------------------------- maximal-extent cross path
+
+
+def _rnd_text(n, seed):
+    r = np.random.default_rng(seed)
+    return "".join(chr(c) for c in r.integers(97, 123, n))
+
+
+def test_extended_cross_spans_report_full_extents(ray_session):
+    """A planted cross-partition duplicate must come back at its EXACT
+    byte extent from the extended path (the window path reports w-byte
+    granularity with up to guard-1 slack per side)."""
+    import ray.data as rd
+
+    from elastiknn_ray.stages.substring import (
+        SubstringConfig,
+        cross_partition_extended_spans,
+        cross_partition_window_spans,
+        substring_spans,
+    )
+
+    shared = _rnd_text(600, 99)
+    t0 = _rnd_text(300, 1) + shared + _rnd_text(250, 2)  # run at [300, 900)
+    t1 = _rnd_text(500, 3) + shared + _rnd_text(100, 4)  # run at [500, 1100)
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([t0, t1], pa.string()),
+            }
+        )
+    ).repartition(2)
+    cfg = SubstringConfig(min_len=200, window=64, guard=32, num_partitions=4)
+
+    ext = cross_partition_extended_spans(docs, cfg, 4).to_pandas()
+    d1 = ext[ext.doc_id == 1]
+    assert d1.start.min() == 500 and d1.end.max() == 1100
+
+    win = cross_partition_window_spans(docs, cfg, 4).to_pandas()
+    w1 = win[win.doc_id == 1]
+    assert w1.start.min() >= 500 and w1.end.max() <= 1100  # truncated
+
+    cfg_ext = SubstringConfig(
+        min_len=200, window=64, guard=32, num_partitions=4, extend_cross=True
+    )
+    spans = substring_spans(docs, cfg_ext).to_pandas()
+    assert len(spans) == 1
+    assert (spans.doc_id[0], spans.start[0], spans.end[0]) == (1, 500, 1100)
+
+
+def test_extended_cross_agrees_with_intra_on_colocated(ray_session):
+    """Intra (exact SA extents) and extended cross (byte extension) must
+    report the same merged spans when the same docs are co-located."""
+    import ray.data as rd
+
+    from elastiknn_ray.stages.substring import (
+        SubstringConfig,
+        cross_partition_extended_spans,
+        intra_partition_spans,
+    )
+    from elastiknn_ray.models.suffix_array import merge_spans
+
+    shared = _rnd_text(450, 77)
+    t0 = _rnd_text(120, 11) + shared + _rnd_text(80, 12)
+    t1 = _rnd_text(260, 13) + shared + _rnd_text(340, 14)
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([t0, t1], pa.string()),
+            }
+        )
+    )
+    cfg = SubstringConfig(min_len=200, window=64, guard=32, num_partitions=1)
+    intra = intra_partition_spans(docs, 200, 1).to_pandas()
+    ext = cross_partition_extended_spans(docs, cfg, 1).to_pandas()
+
+    def merged(df):
+        out = {}
+        for d, g in df.groupby("doc_id"):
+            s, e = merge_spans(g.start.to_numpy(), g.end.to_numpy())
+            out[d] = list(zip(s.tolist(), e.tolist()))
+        return out
+
+    assert merged(intra) == merged(ext) == {1: [(260, 710)]}
+
+
+def test_extend_cross_rejects_sub_min_len_boilerplate(ray_session):
+    """Precision win: a duplicated run just UNDER min_len can survive the
+    window path's min_merged_len guard slack, but the extended path knows
+    its exact extent and rejects it."""
+    import ray.data as rd
+
+    from elastiknn_ray.stages.substring import (
+        SubstringConfig,
+        min_merged_len,
+        substring_spans,
+    )
+
+    cfg = SubstringConfig(min_len=200, window=64, guard=32, num_partitions=4)
+    cfg_ext = SubstringConfig(
+        min_len=200, window=64, guard=32, num_partitions=4, extend_cross=True
+    )
+    # 199-byte run: true extent < min_len; window-path merged extent lands
+    # in [199-2*(g-1), 199] and min_merged_len is 138, so across seeds the
+    # window path usually admits it.  Find a seed where it does, then show
+    # the extended path rejects exactly that fixture.
+    for seed in range(40):
+        bp = _rnd_text(199, 1000 + seed)
+        t2 = _rnd_text(400, 6) + bp + _rnd_text(300, 7)
+        t3 = _rnd_text(200, 8) + bp + _rnd_text(450, 9)
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array([t2, t3], pa.string()),
+                }
+            )
+        ).repartition(2)
+        old_rows = len(substring_spans(docs, cfg).to_pandas())
+        if old_rows:
+            new_rows = len(substring_spans(docs, cfg_ext).to_pandas())
+            assert new_rows == 0, "extended path must reject a 199-byte run"
+            return
+    raise AssertionError("no seed made the window path admit the boilerplate")
+
+
+def test_extended_cross_multiple_runs_same_pair(ray_session):
+    """Two separate shared runs between the same doc pair (and on the same
+    diagonal) must come back as two spans, not one bridged span."""
+    import ray.data as rd
+
+    from elastiknn_ray.stages.substring import (
+        SubstringConfig,
+        cross_partition_extended_spans,
+    )
+
+    run1 = _rnd_text(300, 31)
+    run2 = _rnd_text(260, 32)
+    mid_a = _rnd_text(150, 33)
+    mid_b = _rnd_text(150, 34)  # different middles break the diagonal
+    t0 = run1 + mid_a + run2
+    t1 = run1 + mid_b + run2  # same diag for both runs
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([t0, t1], pa.string()),
+            }
+        )
+    ).repartition(2)
+    cfg = SubstringConfig(min_len=200, window=64, guard=32, num_partitions=4)
+    ext = cross_partition_extended_spans(docs, cfg, 4).to_pandas()
+    d1 = ext[ext.doc_id == 1].sort_values("start").drop_duplicates()
+    spans = list(zip(d1.start.tolist(), d1.end.tolist()))
+    assert (0, 300) in spans and (450, 710) in spans
+    assert not any(s < 300 and e > 450 for s, e in spans), "bridged span"
