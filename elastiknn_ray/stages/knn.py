@@ -457,7 +457,9 @@ def count_cut_partials(
     return bands.map_batches(count_cut, batch_format="pyarrow", batch_size=None)
 
 
-def count_cut_partials_sorted(bands, qindex: "QueryHashIndex", candidates: int):
+def count_cut_partials_sorted(
+    bands, qindex: "QueryHashIndex", candidates: int, *, merge_parts: int | None = None
+):
     """Seek-style collision counting over hash-SORTED postings blocks
     (:func:`_sort_band_block` layout): per block, the Q*L query hash entries
     binary-search into the sorted corpus hashes and only the actual
@@ -465,9 +467,27 @@ def count_cut_partials_sorted(bands, qindex: "QueryHashIndex", candidates: int):
     scan path's O(M*log(Q*L)), the in-memory analogue of seeking the query's
     terms in the postings dict (MatchHashesAndScoreQuery.java:52-85).  Every
     row of a doc lives in the block (sorting is within-block), so per-block
-    counts are complete and the partial kthGreatest cut is exact."""
+    counts are complete and the partial kthGreatest cut is exact.
+
+    ``merge_parts``: when set, each output block is sorted part-major by
+    ``query_id % merge_parts`` with the slice offsets attached as schema
+    metadata, so the downstream broadcast merge tasks zero-copy SLICE their
+    query stripe instead of boolean-filtering every block — removing the
+    per-task modulo+filter pass and, on same-node reads, touching only the
+    stripe's plasma pages.  (A REMOTE ray.get still transfers the whole
+    block — cross-node merges above the size gate go through the groupby
+    shuffle fallback, which moves only each partition's rows.)"""
+    import ray as _ray
+
+    # ship the query hash index by REF, not inside the closure: the closure
+    # is re-pickled into every wave's task specs, and the index is ~MBs at
+    # real wave sizes (one plasma copy per node instead)
+    qindex_ref = _ray.put(qindex)
 
     def count_cut(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        qindex = _ray.get(qindex_ref)
         empty = pa.table(
             {
                 "query_id": pa.array([], pa.int64()),
@@ -517,11 +537,31 @@ def count_cut_partials_sorted(bands, qindex: "QueryHashIndex", candidates: int):
         nb = udoc[nb_loc]
         keep = _kth_greatest_mask(uq, nb, cnt, candidates, nq)
         uq, nb, cnt = uq[keep], nb[keep], cnt[keep]
+        qid = qindex.query_ids[uq]
+        cnt64 = cnt.astype(np.int64)
+        if merge_parts:
+            part = qid % merge_parts
+            order = np.argsort(part, kind="stable")
+            qid, nb, cnt64 = qid[order], nb[order], cnt64[order]
+            offs = np.zeros(merge_parts + 1, dtype=np.int64)
+            np.cumsum(np.bincount(part, minlength=merge_parts), out=offs[1:])
+            return pa.table(
+                {
+                    "query_id": pa.array(qid, pa.int64()),
+                    "neighbor_id": pa.array(nb, pa.int64()),
+                    "n_bands": pa.array(cnt64, pa.int64()),
+                }
+            ).replace_schema_metadata(
+                {
+                    b"merge_parts": str(merge_parts).encode(),
+                    b"part_offsets": offs.tobytes(),
+                }
+            )
         return pa.table(
             {
-                "query_id": pa.array(qindex.query_ids[uq], pa.int64()),
+                "query_id": pa.array(qid, pa.int64()),
                 "neighbor_id": pa.array(nb, pa.int64()),
-                "n_bands": pa.array(cnt.astype(np.int64), pa.int64()),
+                "n_bands": pa.array(cnt64, pa.int64()),
             }
         )
 
@@ -867,16 +907,19 @@ def _knn_lsh_indexed(
     vec_refs = index.vec_refs
     sorted_ref = getattr(index, "sorted_vec_ref", None)
 
-    if "doc_local" in index.bands.schema().names:
-        # hash-sorted postings layout: seek, don't scan
-        partials = count_cut_partials_sorted(index.bands, qindex, candidates)
-    else:
-        partials = count_cut_partials(index.bands, qindex, candidates)
-
     # final merge: ONE coarse-keyed shuffle (~n_parts partitions, each
     # handling many queries in one fully-vectorized kernel — no per-group
     # Python), cut → rescore → top-k inside the kernel
     n_parts = 32
+
+    if "doc_local" in index.bands.schema().names:
+        # hash-sorted postings layout: seek, don't scan; emit part-major
+        # blocks so the broadcast merge slices instead of filtering
+        partials = count_cut_partials_sorted(
+            index.bands, qindex, candidates, merge_parts=n_parts
+        )
+    else:
+        partials = count_cut_partials(index.bands, qindex, candidates)
 
     def merge_rescore_topk(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -947,6 +990,16 @@ def _merge_part_task(part_ix: int, n_parts: int, refs, kernel):
     sel = []
     for tb in tabs:
         if tb.num_rows == 0:
+            continue
+        meta = tb.schema.metadata or {}
+        mp = meta.get(b"merge_parts")
+        if mp is not None and int(mp) == n_parts:
+            # part-major block: zero-copy slice of this task's query stripe
+            # (plasma pages outside the stripe are never touched)
+            offs = np.frombuffer(meta[b"part_offsets"], dtype=np.int64)
+            s, e = int(offs[part_ix]), int(offs[part_ix + 1])
+            if e > s:
+                sel.append(tb.slice(s, e - s))
             continue
         qp = tb.column("query_id").to_numpy(zero_copy_only=False)
         mask = (qp % np.int64(n_parts)) == part_ix
