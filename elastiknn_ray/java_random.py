@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 _MULT = 0x5DEECE66D
 _ADD = 0xB
 _MASK = (1 << 48) - 1
@@ -66,3 +68,74 @@ class JavaRandom:
         multiplier = math.sqrt(-2 * math.log(s) / s)
         self._next_gaussian = v2 * multiplier
         return v1 * multiplier
+
+    # ---------------------------------------------------------- bulk draws
+
+    def _peek_states(self, n: int) -> np.ndarray:
+        """The next ``n`` LCG states WITHOUT advancing the generator.
+
+        s_i = (M^i * s_0 + ADD * sum_{j<i} M^j) mod 2^48, computed fully
+        vectorized in uint64: products/sums wrap mod 2^64 and 2^48 divides
+        2^64, so masking at the end is congruent mod 2^48.
+        """
+        powers = np.multiply.accumulate(np.full(n, _MULT, dtype=np.uint64))
+        geo = np.cumsum(
+            np.concatenate(([np.uint64(1)], powers[:-1])), dtype=np.uint64
+        )
+        return (
+            powers * np.uint64(self._seed) + np.uint64(_ADD) * geo
+        ) & np.uint64(_MASK)
+
+    def next_gaussians(self, n: int) -> np.ndarray:
+        """``n`` draws identical to ``n`` calls of :meth:`next_gaussian`,
+        vectorized (~100x): the LCG state sequence is closed-form (see
+        :meth:`_peek_states`), doubles are paired, the polar-method
+        acceptance test is a mask, and only the states the scalar path
+        would actually consume are committed — interleaving bulk and
+        scalar calls yields the same stream either way."""
+        out = np.empty(n, dtype=np.float64)
+        filled = 0
+        if n and self._next_gaussian is not None:
+            out[0] = self._next_gaussian
+            self._next_gaussian = None
+            filled = 1
+        need = n - filled  # gaussians still to produce
+        pos = filled
+        while need > 0:
+            want_pairs = (need + 1) // 2
+            # acceptance rate is pi/4; 1/0.72 overdraw usually finishes in
+            # one chunk, and overdrawn states are never committed
+            n_pairs = max(64, int(want_pairs / 0.72) + 8)
+            states = self._peek_states(4 * n_pairs)
+            hi = (states[0::2] >> np.uint64(22)).astype(np.float64)
+            lo = (states[1::2] >> np.uint64(21)).astype(np.float64)
+            d = (hi * float(1 << 27) + lo) / float(1 << 53)
+            v1 = 2.0 * d[0::2] - 1.0
+            v2 = 2.0 * d[1::2] - 1.0
+            s = v1 * v1 + v2 * v2
+            acc = np.flatnonzero((s > 0.0) & (s < 1.0))
+            take = acc[:want_pairs]
+            if len(take):
+                sa = s[take]
+                # math.log, not np.log: numpy's SIMD log differs from libm
+                # by 1 ulp on some inputs, and the Java pin is on libm
+                # (np.sqrt is IEEE correctly-rounded, so it stays vector)
+                lg = np.fromiter(
+                    map(math.log, sa.tolist()), np.float64, len(sa)
+                )
+                mult = np.sqrt(-2.0 * lg / sa)
+                g = np.empty(2 * len(take), dtype=np.float64)
+                g[0::2] = v1[take] * mult
+                g[1::2] = v2[take] * mult
+                emit = min(len(g), need)
+                out[pos : pos + emit] = g[:emit]
+                if emit < len(g):  # odd tail: cache the pair's second half
+                    self._next_gaussian = float(g[emit])
+                pos += emit
+                need -= emit
+            if len(acc) >= want_pairs:
+                # commit exactly through the last consumed pair's 4 states
+                self._seed = int(states[4 * (int(take[-1]) + 1) - 1])
+            else:
+                self._seed = int(states[-1])  # chunk exhausted; loop
+        return out

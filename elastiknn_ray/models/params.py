@@ -10,6 +10,7 @@ seed) our coefficients/planes/sampled positions equal the reference's.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -38,6 +39,26 @@ class MinHashParams:
     B: np.ndarray  # uint64 (L*k,)
 
 
+def _model_cache(fn):
+    """Process-level memo of derived params keyed by the (frozen, hashable)
+    config — the engine's ModelCache (ModelCache.scala:10-27 caches the
+    derived model per mapping for exactly this reason: derivation replays
+    the seeded JavaRandom stream, which is inherently sequential and was
+    the dominant per-query-wave cost on repeat calls).  Safe to share: the
+    param dataclasses are frozen and every array is marked read-only."""
+
+    @functools.lru_cache(maxsize=None)
+    def cached(cfg):
+        params = fn(cfg)
+        for v in vars(params).values():
+            if isinstance(v, np.ndarray):
+                v.setflags(write=False)
+        return params
+
+    return functools.wraps(fn)(cached)
+
+
+@_model_cache
 def derive_minhash(cfg: JaccardLshConfig) -> MinHashParams:
     rng = JavaRandom(cfg.seed)
     n = cfg.L * cfg.k
@@ -67,6 +88,7 @@ class BitSampleParams:
     positions: np.ndarray  # int64 (L, k) — each row sorted ascending
 
 
+@_model_cache
 def derive_bitsample(cfg: HammingLshConfig) -> BitSampleParams:
     rng = JavaRandom(cfg.seed)
     L, k, dims = cfg.L, cfg.k, cfg.dims
@@ -121,12 +143,14 @@ class HyperplaneParams:
     planes: np.ndarray  # float32 (L*k, dims)
 
 
+@_model_cache
 def derive_hyperplanes(cfg: CosineLshConfig) -> HyperplaneParams:
     rng = JavaRandom(cfg.seed)
-    planes = np.empty((cfg.L * cfg.k, cfg.dims), dtype=np.float32)
-    for i in range(cfg.L * cfg.k):
-        for j in range(cfg.dims):
-            planes[i, j] = np.float32(rng.next_gaussian())
+    planes = (
+        rng.next_gaussians(cfg.L * cfg.k * cfg.dims)
+        .astype(np.float32)
+        .reshape(cfg.L * cfg.k, cfg.dims)
+    )
     return HyperplaneParams(cfg.dims, cfg.L, cfg.k, planes)
 
 
@@ -143,12 +167,14 @@ class L2Params:
     B: np.ndarray  # float32 (L*k,)
 
 
+@_model_cache
 def derive_l2(cfg: L2LshConfig) -> L2Params:
     rng = JavaRandom(cfg.seed)
-    a = np.empty((cfg.L * cfg.k, cfg.dims), dtype=np.float32)
-    for i in range(cfg.L * cfg.k):
-        for j in range(cfg.dims):
-            a[i, j] = np.float32(rng.next_gaussian())
+    a = (
+        rng.next_gaussians(cfg.L * cfg.k * cfg.dims)
+        .astype(np.float32)
+        .reshape(cfg.L * cfg.k, cfg.dims)
+    )
     b = np.empty((cfg.L * cfg.k,), dtype=np.float32)
     for i in range(cfg.L * cfg.k):
         b[i] = np.float32(rng.next_float()) * cfg.w

@@ -43,3 +43,60 @@ def test_next_float_range():
     r = JavaRandom(7)
     xs = [r.next_float() for _ in range(1000)]
     assert all(0.0 <= x < 1.0 for x in xs)
+
+
+def test_bulk_gaussians_bit_exact_vs_scalar():
+    """next_gaussians(n) must be indistinguishable from n scalar calls —
+    same values, same final LCG state, same cached second gaussian — for
+    every parity/chunking regime (the bulk path powers derive_l2 /
+    derive_hyperplanes, whose Java-pinned draws must not move)."""
+    import numpy as np
+
+    for seed in (0, 1, 42, 2**31, -7):
+        for n in (1, 2, 3, 17, 1000, 9601):
+            r_sc = JavaRandom(seed)
+            sc = np.array([r_sc.next_gaussian() for _ in range(n)])
+            r_bl = JavaRandom(seed)
+            bl = r_bl.next_gaussians(n)
+            assert np.array_equal(sc, bl)
+            # state + gaussian-cache equivalence: the NEXT draws agree too
+            assert r_sc.next_double() == r_bl.next_double()
+            assert r_sc.next_gaussian() == r_bl.next_gaussian()
+
+
+def test_bulk_gaussians_interleave_with_scalar():
+    import numpy as np
+
+    r1, r2 = JavaRandom(0), JavaRandom(0)
+    a = [r1.next_gaussian() for _ in range(5)]
+    b = list(r2.next_gaussians(3)) + [r2.next_gaussian(), r2.next_gaussian()]
+    assert a == b
+    assert list(r1.next_gaussians(7)) == [r2.next_gaussian() for _ in range(7)]
+    assert np.array_equal(r1.next_gaussians(0), np.empty(0))
+
+
+def test_derive_model_cache_memoizes_and_freezes():
+    """derive_* results are memoized per config (ModelCache.scala:10-27
+    semantics) and the shared arrays are read-only."""
+    import numpy as np
+    import pytest
+
+    from elastiknn_ray.config import L2LshConfig
+    from elastiknn_ray.models.params import derive_l2
+
+    cfg = L2LshConfig(dims=8, L=3, k=2, w=4, seed=0)
+    p1 = derive_l2(cfg)
+    p2 = derive_l2(L2LshConfig(dims=8, L=3, k=2, w=4, seed=0))
+    assert p1 is p2
+    with pytest.raises(ValueError):
+        p1.A[0, 0] = 0.0
+    # derivation itself still matches the scalar JavaRandom stream
+    r = JavaRandom(0)
+    a_old = np.array(
+        [np.float32(r.next_gaussian()) for _ in range(3 * 2 * 8)], np.float32
+    ).reshape(6, 8)
+    assert np.array_equal(p1.A, a_old)
+    b_old = np.array(
+        [np.float32(r.next_float()) * 4 for _ in range(6)], np.float32
+    )
+    assert np.array_equal(p1.B, b_old)
