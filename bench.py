@@ -693,9 +693,17 @@ def run_decisions(num_cpus: int, n_docs: int, seed: int) -> dict:
         pages_path,
         DOCS_DEDUP_CFG,
         root,
-        sub_cfg=SubstringConfig(
-            target_blob_bytes=4 << 20, min_partitions=4 * num_cpus
-        ),
+        # min_partitions is FIXED across parallelism levels: the intra-path
+        # span EXTENTS (not detection — the window path is partition-
+        # agnostic) depend on which doc pairs are co-partitioned, so the
+        # partition count is a property of the PLAN (byte-budgeted from data
+        # size), never of the cluster size.  A CPU-derived floor here made
+        # the 8- and 32-CPU levels run different plans, and docs whose span
+        # coverage sits near the substring_frac boundary flipped between
+        # exact-extent and window-granular coverage (observed: 144 vs 141
+        # substring drops at 60k docs).  128 = the byte-budget floor the
+        # 32-CPU level always resolved to.
+        sub_cfg=SubstringConfig(target_blob_bytes=4 << 20, min_partitions=128),
         num_partitions=16,
     )
     import numpy as np

@@ -25,6 +25,18 @@ Composite two-path design, each path's partitioning assumption explicit:
 
 Keep-first rule everywhere: smallest (doc_id, pos) occurrence survives —
 the engine's min-id determinism contract (SURVEY.md §4).
+
+Partitioning assumption (reproducibility contract): DETECTION of any
+duplicated run >= window + guard - 1 bytes is partition-agnostic (the
+window path's winnowing guarantee), but span EXTENTS are not — a doc pair
+that is co-partitioned gets exact suffix-array extents while a split pair
+gets window-granular extents (up to 2*(guard-1) bytes shorter per run,
+unless ``extend_cross``).  The partition count is therefore a property of
+the PLAN — resolved once from data size via ``target_blob_bytes`` — and
+must never be derived from cluster size: the same corpus at the same
+config must use the same partition count at every parallelism level, or
+downstream coverage-threshold consumers (pipelines/decide.py) can flip
+boundary docs between runs.
 """
 
 from __future__ import annotations

@@ -88,3 +88,32 @@ def test_join_fallback_matches_broadcast(ray_session, monkeypatch):
         ]
 
     assert canon(a).equals(canon(b))
+
+
+def test_decisions_invariant_to_input_block_layout(ray_session):
+    """Reproducibility contract (stages/substring.py module docstring): at a
+    FIXED plan (num_partitions, SubstringConfig), the decision table must not
+    depend on how the input happens to be split into blocks — only the
+    partition count, a plan property, may change span extents.  Guards the
+    bench regression where a CPU-derived min_partitions made two parallelism
+    levels run different plans."""
+    import ray.data as rd
+
+    from elastiknn_ray.config import DedupConfig
+    from elastiknn_ray.pipelines.decide import dedup_decisions
+    from elastiknn_ray.sources.synth import pages_table
+    from elastiknn_ray.stages.hashing import prepare_batch
+
+    base = rd.from_arrow(pages_table(400, 7)).map_batches(
+        prepare_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "text"])
+
+    def run(blocks):
+        out = dedup_decisions(
+            base.repartition(blocks), DedupConfig(), num_partitions=4
+        ).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)[
+            ["doc_id", "keep", "reason"]
+        ]
+
+    assert run(3).equals(run(11))
