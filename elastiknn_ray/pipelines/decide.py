@@ -194,10 +194,43 @@ def _drop_substring(docs, spans, frac: float, num_partitions: int):
         batch_format="pyarrow",
     )
     agg = cov.groupby("doc_id").aggregate(Sum("cov", alias_name="cov")).materialize()
-    if agg.count() == 0:
+    n_cov = agg.count()
+    if n_cov == 0:
         import ray.data as rd
 
         return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    if n_cov <= BROADCAST_DOC_LIMIT:
+        # spanned docs fit the broadcast budget ((doc_id, cov) int64 pairs):
+        # one ray.put + a searchsorted lookup inside the existing byte-length
+        # pass replaces the inner-join shuffle — same rows, one exchange
+        # fewer (the fixed join latency dominated this stage at bench scale)
+        import ray
+
+        parts_i, parts_c = [], []
+        for b in agg.iter_batches(batch_format="pyarrow"):
+            parts_i.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+            parts_c.append(b.column("cov").to_numpy(zero_copy_only=False))
+        ids = np.concatenate(parts_i).astype(np.int64)
+        cv = np.concatenate(parts_c).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ref = ray.put((ids[order], cv[order]))
+
+        def over_bcast(t: pa.Table) -> pa.Table:
+            sids, scov = ray.get(ref)
+            blen = (
+                pc.binary_length(t.column("text").cast(pa.large_binary()))
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            p = np.minimum(np.searchsorted(sids, d), len(sids) - 1)
+            hit = sids[p] == d
+            c = np.where(hit, scov[p], 0).astype(np.float64)
+            L = blen.astype(np.float64)
+            m = (L > 0) & (c > frac * L)
+            return pa.table({"doc_id": pa.array(d[m], pa.int64())})
+
+        return docs.map_batches(over_bcast, batch_format="pyarrow")
     j = _doc_byte_lengths(docs).join(
         drop_empty_blocks(agg),
         join_type="inner",
@@ -315,10 +348,52 @@ def decisions_from(
     it here."""
     from ray.data.aggregate import Min
 
+    sources = (
+        exact_drops if exact_drops is not None else _drop_exact(docs),
+        _drop_near(clusters),
+        _drop_substring(docs, spans, substring_frac, num_partitions),
+    )
+    # small-drops fast path: each source is a (doc_id,) Dataset far smaller
+    # than the corpus; when their union fits the broadcast budget, reduce
+    # min(reason_rank) per doc in numpy instead of paying the union +
+    # groupby(Min) exchange (a fixed-latency shuffle that dominated the
+    # decisions stage at bench scale).  Falls through to the dataflow
+    # reduction the moment any source exceeds the budget.
+    collected: list[np.ndarray] | None = []
+    budget = BROADCAST_DOC_LIMIT
+    for src in sources:
+        if collected is None:
+            break
+        parts = []
+        for b in src.iter_batches(batch_format="pyarrow"):
+            budget -= b.num_rows
+            if budget < 0:
+                collected = None
+                break
+            parts.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+        if collected is not None:
+            collected.append(
+                np.concatenate(parts).astype(np.int64)
+                if parts
+                else np.array([], np.int64)
+            )
+    if collected is not None:
+        ids = np.concatenate(collected)
+        ranks = np.concatenate(
+            [np.full(len(c), r, np.int64) for r, c in enumerate(collected)]
+        )
+        if len(ids) == 0:
+            return _annotate_broadcast(
+                docs, np.array([], np.int64), np.array([], np.int64)
+            )
+        order = np.lexsort((ranks, ids))
+        ids, ranks = ids[order], ranks[order]
+        first = np.r_[True, ids[1:] != ids[:-1]]
+        return _annotate_broadcast(docs, ids[first], ranks[first])
     drops = (
-        _ranked(exact_drops if exact_drops is not None else _drop_exact(docs), 0)
-        .union(_ranked(_drop_near(clusters), 1))
-        .union(_ranked(_drop_substring(docs, spans, substring_frac, num_partitions), 2))
+        _ranked(sources[0], 0)
+        .union(_ranked(sources[1], 1))
+        .union(_ranked(sources[2], 2))
     )
     # strongest reason per doc; materialize to gate the annotate strategy
     # (the reduced set is (int64, int64) rows — tiny relative to the corpus)
